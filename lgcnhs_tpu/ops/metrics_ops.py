@@ -1,0 +1,124 @@
+"""Vectorized on-device metric kernels.
+
+The reference computes metrics with Python loops over users and item pairs
+(``metrics/accurate.py``, ``metrics/diversity.py`` — the Hamming metric alone
+is an O(U^2) double loop with string-keyed memoization,
+``metrics/diversity.py:32-58``). Here each metric is a closed-form jitted
+program:
+
+- precision/recall/NDCG: one gather (hit matrix) + masked means
+- Hamming: the pairwise-overlap double sum collapses to ||c||^2 where c is the
+  item recommendation-count vector, because sum_{i,j} |rec_i ^ rec_j| =
+  || sum_u onehot(rec_u) ||^2 — O(U k) instead of O(U^2 k)
+- internal similarity: the per-user item-pair loop becomes a bilinear form
+  b_u^T S b_u over the degree-normalized co-occurrence matrix S
+
+Host-side 5-decimal rounding parity lives in ``eval/metrics.py``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def hit_matrix(rec: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(U, k) 0/1 hits: rec item in the user's positive set
+    (``metrics/accurate.py:26-33``)."""
+    return jnp.take_along_axis(pos.astype(jnp.float32), rec, axis=1)
+
+
+@jax.jit
+def precision_recall(
+    rec: jnp.ndarray,  # (U, k) int
+    pos: jnp.ndarray,  # (U, I) bool — eval-split positives
+    pos_counts: jnp.ndarray,  # (U,) |pos_u| row counts (duplicates included)
+    present: jnp.ndarray,  # (U,) bool — users with >=1 positive in the split
+):
+    """P@k / R@k means over present users only, matching the reference's
+    iteration over the eval pos-dict keys (``metrics/accurate.py:26-42``)."""
+    hits = hit_matrix(rec, pos)
+    num_correct = jnp.sum(hits, axis=1)
+    m = present.astype(jnp.float32)
+    n_present = jnp.maximum(jnp.sum(m), 1.0)
+    k = rec.shape[1]
+    precision = jnp.sum(num_correct * m) / n_present / k
+    safe_counts = jnp.maximum(pos_counts.astype(jnp.float32), 1.0)
+    recall = jnp.sum(num_correct / safe_counts * m) / n_present
+    return precision, recall
+
+
+@jax.jit
+def ndcg_at_k(
+    rec: jnp.ndarray,
+    pos: jnp.ndarray,
+    present: jnp.ndarray,
+) -> jnp.ndarray:
+    """Binary-relevance NDCG with log2 discount. The reference's IDCG marks
+    all k slots relevant (label rows are always length k,
+    ``metrics/accurate.py:76-86``), so IDCG is the constant sum of discounts."""
+    k = rec.shape[1]
+    hits = hit_matrix(rec, pos)
+    discount = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+    dcg = jnp.sum(hits * discount[None, :], axis=1)
+    idcg = jnp.sum(discount)
+    ndcg = dcg / idcg
+    m = present.astype(jnp.float32)
+    return jnp.sum(ndcg * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+@partial(jax.jit, static_argnames=("n_items",))
+def hamming_distance(rec: jnp.ndarray, n_items: int) -> jnp.ndarray:
+    """Mean over ordered user pairs (i != j) of 1 - |rec_i ^ rec_j| / k
+    (``metrics/diversity.py:15-63``).
+
+    Identity: sum over ALL ordered pairs (incl. i==j) of overlap equals
+    ||c||^2 with c[item] = #users recommended that item; the diagonal
+    contributes U*k (lists hold k distinct items). Hence
+    H = 1 - (||c||^2 - U*k) / (U (U-1) k).
+    """
+    U, k = rec.shape
+    counts = jnp.zeros(n_items, dtype=jnp.float32).at[rec.reshape(-1)].add(1.0)
+    total_overlap = jnp.sum(counts * counts)
+    off_diag = total_overlap - U * k
+    return 1.0 - off_diag / (U * (U - 1) * k)
+
+
+@jax.jit
+def internal_similarity(
+    rec: jnp.ndarray,  # (U, k)
+    interaction: jnp.ndarray,  # (U, I) float 0/1 train+val matrix
+    item_deg: jnp.ndarray,  # (I,) degrees from the train+val pos dicts
+) -> jnp.ndarray:
+    """Sorensen intra-list similarity (``metrics/diversity.py:66-115``):
+    I = (1/(U k (k-1))) * sum_u sum_{i != j in rec_u} cooc(i,j)/sqrt(k_i k_j),
+    pairs with zero degree skipped.
+
+    cooc = A^T A (one MXU matmul); the per-user pair sum is the bilinear form
+    b_u^T S b_u minus its diagonal, evaluated for all users as one (U,I)x(I,I)
+    product.
+    """
+    U, k = rec.shape
+    n_items = interaction.shape[1]
+
+    cooc = jnp.dot(interaction.T, interaction, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    deg = item_deg.astype(jnp.float32)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    S = cooc * inv_sqrt[:, None] * inv_sqrt[None, :]
+
+    B = jnp.zeros((U, n_items), dtype=jnp.float32)
+    B = B.at[jnp.arange(U)[:, None], rec].set(1.0)
+
+    quad = jnp.sum(jnp.dot(B, S, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32) * B)
+    diag_term = jnp.sum(B * jnp.diagonal(S)[None, :])
+    return (quad - diag_term) / (U * k * (k - 1))
+
+
+@partial(jax.jit, static_argnames=())
+def all_accuracy_metrics(rec, pos, pos_counts, present):
+    """Fused P/R/NDCG in one compiled program (single device sync)."""
+    p, r = precision_recall(rec, pos, pos_counts, present)
+    n = ndcg_at_k(rec, pos, present)
+    return p, r, n

@@ -1,0 +1,97 @@
+"""LightGCN K-layer graph propagation.
+
+The reference does edge-wise message passing over the joint (U+I)-node graph
+via torch-geometric ``propagate`` with ``gcn_norm`` weights
+(``model/LightGCN/model.py:53-84``). On TPU we exploit that the joint graph is
+bipartite: with R_hat = D_u^-1/2 R D_i^-1/2, one joint propagation step is
+
+    e_u' = R_hat   . e_i
+    e_i' = R_hat^T . e_u
+
+so the whole forward is 2K dense (or sparse) matmuls on the MXU — no edge
+gather/scatter, no (U+I)^2 adjacency. The final embedding is the mean over
+layers 0..K (``model/LightGCN/model.py:66-69``).
+
+Two execution paths:
+- dense: R_hat as a dense (U, I) matrix — optimal at MovieLens/Douban densities
+  (the MXU eats 1k x 2k matmuls for breakfast; sparsity gather overhead loses).
+- segment-sum: COO edges + jax.ops.segment_sum — for very sparse large graphs;
+  also the reference semantics check for the dense path.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("n_layers",))
+def lightgcn_propagate(
+    user_emb: jnp.ndarray,  # (U, D) e_u^0
+    item_emb: jnp.ndarray,  # (I, D) e_i^0
+    R_hat: jnp.ndarray,  # (U, I) normalized bipartite incidence
+    n_layers: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense-path forward: returns (e_u^final, e_i^final) = per-side mean over
+    layer stack 0..K (``model/LightGCN/model.py:60-72``)."""
+    eu, ei = user_emb, item_emb
+    acc_u, acc_i = eu, ei
+    for _ in range(n_layers):
+        eu, ei = (
+            jnp.dot(R_hat, ei, precision=jax.lax.Precision.HIGHEST, preferred_element_type=eu.dtype),
+            jnp.dot(R_hat.T, eu, precision=jax.lax.Precision.HIGHEST, preferred_element_type=ei.dtype),
+        )
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (n_layers + 1)
+    return acc_u * scale, acc_i * scale
+
+
+@partial(jax.jit, static_argnames=("n_users", "n_items", "n_layers"))
+def lightgcn_propagate_coo(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    edge_users: jnp.ndarray,  # (E,) int32
+    edge_items: jnp.ndarray,  # (E,) int32
+    edge_norm: jnp.ndarray,  # (E,) 1/sqrt(d_u d_i) per edge
+    n_users: int,
+    n_items: int,
+    n_layers: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sparse segment-sum forward path — identical math to the dense path;
+    preferred when the incidence is too sparse/large to densify."""
+    eu, ei = user_emb, item_emb
+    acc_u, acc_i = eu, ei
+    for _ in range(n_layers):
+        msg_u = jax.ops.segment_sum(
+            ei[edge_items] * edge_norm[:, None], edge_users, num_segments=n_users
+        )
+        msg_i = jax.ops.segment_sum(
+            eu[edge_users] * edge_norm[:, None], edge_items, num_segments=n_items
+        )
+        eu, ei = msg_u, msg_i
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (n_layers + 1)
+    return acc_u * scale, acc_i * scale
+
+
+def edge_gcn_norm(
+    edge_users: jnp.ndarray,
+    edge_items: jnp.ndarray,
+    n_users: int,
+    n_items: int,
+) -> jnp.ndarray:
+    """Per-edge symmetric normalization 1/sqrt(d_u d_i) — torch-geometric
+    ``gcn_norm(add_self_loops=False)`` weights (``model/LightGCN/model.py:53``).
+    Edge multiplicity counts, matching gcn_norm's degree-by-edge-count."""
+    du = jax.ops.segment_sum(
+        jnp.ones_like(edge_users, dtype=jnp.float32), edge_users, num_segments=n_users
+    )
+    di = jax.ops.segment_sum(
+        jnp.ones_like(edge_items, dtype=jnp.float32), edge_items, num_segments=n_items
+    )
+    inv = lambda d: jnp.where(d > 0, jax.lax.rsqrt(d), 0.0)
+    return inv(du)[edge_users] * inv(di)[edge_items]

@@ -1,0 +1,86 @@
+"""Ranking / top-k retrieval ops.
+
+Covers the reference's two ranking flavors:
+
+1. Masked top-k (GCN flavor): set seen user-item scores to exactly -(1 << 10)
+   and take torch.topk (``model/LightGCN/evaluation.py:41-52``,
+   ``recommend.py:93-114``). -1024.0 (not -inf) is load-bearing for parity.
+2. Argsort-filter (spread flavor): argsort resources descending with numpy's
+   reversed-stable tie order (equal values -> HIGHER index first), drop seen
+   items, take first k (``model/SpreadMethod/recommend.py:35-50``).
+
+Both are jitted and batched over all users at once — the reference's Python
+per-user loop becomes one XLA sort/top-k program.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Exact sentinel the reference writes into excluded entries.
+MASK_VALUE = -float(1 << 10)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def masked_topk(
+    scores: jnp.ndarray,  # (U, I)
+    seen: jnp.ndarray,  # (U, I) bool — entries to exclude
+    k: int,
+) -> jnp.ndarray:
+    """Top-k item indices per user with seen entries masked to -1024.
+    jax.lax.top_k breaks ties lowest-index-first like torch.topk's sorted
+    path, matching the reference's observable ordering."""
+    masked = jnp.where(seen, MASK_VALUE, scores)
+    _, idx = jax.lax.top_k(masked, k)
+    return idx
+
+
+@partial(jax.jit, static_argnames=("k", "filter_seen"))
+def rank_exclude_seen(
+    resource: jnp.ndarray,  # (U, I)
+    seen: jnp.ndarray,  # (U, I) bool
+    k: int,
+    filter_seen: bool = True,
+) -> jnp.ndarray:
+    """Spread-flavor ranking with exact numpy-parity tie behavior.
+
+    The reference ranks with ``np.argsort(x)[::-1]``
+    (``model/SpreadMethod/recommend.py:39``) under numpy's default UNSTABLE
+    quicksort, so its order among equal scores is implementation-defined. We
+    pin the deterministic stable flavor: value descending, ties broken by
+    HIGHER index first (reversed stable ascending sort) — identical wherever
+    scores are distinct, reproducible where the reference is not. Seen items
+    are then stably pushed behind unseen ones and the first k taken.
+    ``filter_seen=False`` reproduces the ProbS-on-movielens quirk that skips
+    the seen filter (``recommend.py:48-50``).
+
+    Edge case: a user with fewer than k unseen items gets the best SEEN items
+    backfilled at the tail (static shapes). The reference instead emits a
+    short list that crashes its own ragged np.array conversion
+    (``utils/trans.py:91``) — our behavior is a documented strict improvement.
+    """
+    # order[u, s] = item at descending-rank s (ties -> higher index first):
+    # exactly np.argsort(ascending, stable)[::-1].
+    order = jnp.argsort(resource, axis=1, stable=True)[:, ::-1]
+
+    if not filter_seen:
+        return order[:, :k]
+
+    # Stable partition: unseen slots keep relative order ahead of seen slots.
+    seen_in_order = jnp.take_along_axis(seen, order, axis=1)
+    perm = jnp.argsort(seen_in_order.astype(jnp.int32), axis=1, stable=True)
+    filtered = jnp.take_along_axis(order, perm, axis=1)
+    return filtered[:, :k]
+
+
+@partial(jax.jit, static_argnames=("k", "axis_name"))
+def local_topk_for_merge(scores_block: jnp.ndarray, k: int, axis_name: str):
+    """Shard-local top-k for the distributed merge: returns (values, local
+    indices); caller offsets indices by the shard's item base and merges via
+    a second top-k over the gathered (n_shards * k) candidates
+    (see ``parallel/sharding.py``). No reference counterpart — the reference
+    ranks the full catalog on one device."""
+    vals, idx = jax.lax.top_k(scores_block, k)
+    return vals, idx

@@ -1,0 +1,55 @@
+import numpy as np
+
+from lgcnhs_tpu.data.graph import EdgeSet, normalized_bipartite
+from lgcnhs_tpu.ops.propagation import (
+    edge_gcn_norm,
+    lightgcn_propagate,
+    lightgcn_propagate_coo,
+)
+from tests import reference_formulas as ref
+
+U, I, D, K = 12, 20, 8, 3
+
+
+def _setup():
+    rng = np.random.default_rng(7)
+    eu = rng.integers(0, U, 60).astype(np.int32)
+    ei = rng.integers(0, I, 60).astype(np.int32)
+    # dedup pairs (interaction semantics)
+    pairs = np.unique(np.stack([eu, ei]), axis=1)
+    eu, ei = pairs[0], pairs[1]
+    user_emb = rng.standard_normal((U, D)).astype(np.float32)
+    item_emb = rng.standard_normal((I, D)).astype(np.float32)
+    return eu, ei, user_emb, item_emb
+
+
+def test_dense_path_matches_joint_adjacency_reference():
+    eu, ei, user_emb, item_emb = _setup()
+    R_hat = normalized_bipartite(U, I, EdgeSet(eu, ei))
+    got_u, got_i = lightgcn_propagate(user_emb, item_emb, R_hat, K)
+    want_u, want_i = ref.ref_lightgcn_forward(user_emb, item_emb, eu, ei, U, I, K)
+    np.testing.assert_allclose(np.asarray(got_u), want_u, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_i), want_i, rtol=1e-4, atol=1e-5)
+
+
+def test_coo_path_matches_dense_path():
+    eu, ei, user_emb, item_emb = _setup()
+    R_hat = normalized_bipartite(U, I, EdgeSet(eu, ei))
+    du, di = lightgcn_propagate(user_emb, item_emb, R_hat, K)
+    norm = edge_gcn_norm(eu, ei, U, I)
+    cu, ci = lightgcn_propagate_coo(user_emb, item_emb, eu, ei, norm, U, I, K)
+    np.testing.assert_allclose(np.asarray(cu), np.asarray(du), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ci), np.asarray(di), rtol=1e-4, atol=1e-5)
+
+
+def test_zero_degree_nodes_stay_finite():
+    eu, ei, user_emb, item_emb = _setup()
+    # add an isolated user/item by construction: none reference idx U-1 / I-1
+    mask = (eu != U - 1) & (ei != I - 1)
+    eu, ei = eu[mask], ei[mask]
+    R_hat = normalized_bipartite(U, I, EdgeSet(eu, ei))
+    u, i = lightgcn_propagate(user_emb, item_emb, R_hat, K)
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.isfinite(np.asarray(i)).all()
+    # isolated nodes keep only their layer-0 term in the layer mean
+    np.testing.assert_allclose(np.asarray(u)[U - 1], user_emb[U - 1] / (K + 1), rtol=1e-5)

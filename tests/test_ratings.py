@@ -1,0 +1,65 @@
+import numpy as np
+import pandas as pd
+
+from lgcnhs_tpu.config import load_config
+from lgcnhs_tpu.data.ratings import prepare_ratings
+from lgcnhs_tpu.data.synthetic import synthesize_movielens_like
+
+
+def test_split_sizes_and_disjointness(tmp_path):
+    cfg = load_config(env="dev", dataset="synthetic", model="HybridS")
+    df = synthesize_movielens_like(100, 200, 5000, seed=42)
+    splits = prepare_ratings(df, cfg, save_path=str(tmp_path))
+    n = len(splits.rating)
+    assert len(splits.train) + len(splits.val) + len(splits.test) == n
+    # 8:1:1 (to rounding)
+    assert abs(len(splits.train) / n - 0.8) < 0.01
+    assert abs(len(splits.val) / n - 0.1) < 0.01
+    assert abs(len(splits.test) / n - 0.1) < 0.01
+    # row-disjoint
+    idx = [set(s.index) for s in (splits.train, splits.val, splits.test)]
+    assert not (idx[0] & idx[1]) and not (idx[0] & idx[2]) and not (idx[1] & idx[2])
+    # artifacts exist
+    for name in ("filter_rating", "train_data", "val_data", "test_data"):
+        assert (tmp_path / f"{name}.csv").exists()
+
+
+def test_dense_id_remap():
+    cfg = load_config(env="dev", dataset="synthetic", model="HybridS")
+    df = synthesize_movielens_like(50, 80, 2000, seed=1)
+    splits = prepare_ratings(df, cfg)
+    uids = splits.rating["user_id"].to_numpy()
+    iids = splits.rating["item_id"].to_numpy()
+    assert uids.min() == 0 and uids.max() == splits.n_users - 1
+    assert iids.min() == 0 and iids.max() == splits.n_items - 1
+    # mapping preserves sorted-unique order (LabelEncoder parity)
+    classes = sorted(splits.uid_mapping)
+    assert [splits.uid_mapping[c] for c in classes] == list(range(len(classes)))
+
+
+def test_split_determinism():
+    cfg = load_config(env="dev", dataset="synthetic", model="HybridS")
+    df = synthesize_movielens_like(60, 90, 3000, seed=5)
+    a = prepare_ratings(df, cfg)
+    b = prepare_ratings(df.copy(), cfg)
+    pd.testing.assert_frame_equal(a.train, b.train)
+    pd.testing.assert_frame_equal(a.test, b.test)
+
+
+def test_quantile_band_filters_users():
+    cfg = load_config(env="dev", dataset="synthetic", model="HybridS")
+    # douban-style narrow band keeps only the most active users
+    import dataclasses
+
+    pre = dataclasses.replace(cfg.preprocessing, quantile_start=1.0, quantile_end=0.9)
+    cfg = cfg.replace(preprocessing=pre)
+    df = synthesize_movielens_like(200, 100, 8000, seed=9)
+    splits = prepare_ratings(df, cfg)
+    # band [p90, p100] keeps roughly 10% of users
+    assert splits.n_users < 0.25 * 200
+
+
+def test_synthetic_schema():
+    df = synthesize_movielens_like(10, 20, 500, seed=0)
+    assert list(df.columns) == ["user", "item", "rating", "timestamp"]
+    assert not df.duplicated(["user", "item"]).any()
