@@ -1,0 +1,109 @@
+"""Shared CLI plumbing: argument parsing and pipeline assembly."""
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+import numpy as np
+
+from lgcnhs_tpu.config import DATASETS, MODEL_NAMES, Config, load_config
+from lgcnhs_tpu.data.datasets import load_dataset
+from lgcnhs_tpu.data.graph import InteractionGraph, build_graph
+from lgcnhs_tpu.runtime.logging import get_logger
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--env", choices=["dev", "prod"], default="dev")
+    p.add_argument("--dataset", choices=list(DATASETS), default="movielens")
+    p.add_argument("--model", choices=list(MODEL_NAMES), default="SpreadLightGCNOpti")
+    p.add_argument("--workdir", default="artifacts")
+    p.add_argument("--k", type=int, default=None, help="recommendation list size")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lambda", dest="lambda_", type=float, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--users", type=int, default=None, help="synthetic user count")
+    p.add_argument("--items", type=int, default=None, help="synthetic item count")
+    p.add_argument(
+        "--interactions", type=int, default=None, help="synthetic interaction count"
+    )
+    p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
+    return p
+
+
+def enable_compilation_cache(path: str = "/tmp/lgcnhs_jax_cache") -> None:
+    """Persistent XLA compilation cache — first-compile through the TPU tunnel
+    costs tens of seconds per program; caching makes every later process
+    start warm. (No reference counterpart; torch has no AOT compile step.)"""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+def warmup_device_transfer() -> float:
+    """Force the once-per-process device->host handshake now.
+
+    On the tunneled axon TPU backend, the FIRST D2H transfer of a process
+    pays a large variable setup penalty (measured 25s..540s); all later
+    transfers are ~25ms. Taking the hit eagerly at startup makes subsequent
+    stage timings meaningful. Returns the handshake seconds.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    jax.device_get(jnp.zeros((4,)))
+    return time.perf_counter() - t0
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    enable_compilation_cache()
+    overrides = {}
+    if args.k is not None:
+        overrides["k"] = args.k
+    if args.epochs is not None:
+        overrides["hparams.epochs"] = args.epochs
+    if args.lambda_ is not None:
+        overrides["hparams.lambda_"] = args.lambda_
+    if args.batch_size is not None:
+        overrides["hparams.batch_size"] = args.batch_size
+    if args.users is not None:
+        overrides["synthetic_users"] = args.users
+    if args.items is not None:
+        overrides["synthetic_items"] = args.items
+    if args.interactions is not None:
+        overrides["synthetic_interactions"] = args.interactions
+    cfg = load_config(
+        env=args.env,
+        dataset=args.dataset,
+        model=args.model,
+        workdir=args.workdir,
+        overrides=overrides,
+    )
+    cfg.ensure_dirs()
+    return cfg
+
+
+def load_pipeline(cfg: Config) -> Tuple[InteractionGraph, np.ndarray, np.ndarray]:
+    """Dataset -> graph arrays + features, with shape logging
+    (reference ``main.py:47-58``)."""
+    log = get_logger("lgcnhs", cfg.log_path)
+    splits, user_features, item_features = load_dataset(cfg)
+    graph = build_graph(splits)
+    log.info(
+        "users: %d, items: %d | train %s val %s test %s | user_features %s item_features %s",
+        graph.n_users,
+        graph.n_items,
+        len(splits.train),
+        len(splits.val),
+        len(splits.test),
+        user_features.shape,
+        item_features.shape,
+    )
+    return graph, user_features, item_features

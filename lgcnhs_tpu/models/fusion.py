@@ -1,0 +1,94 @@
+"""LGCNHS fusion models: SpreadLightGCN / SpreadLightGCNOpti.
+
+Re-design of ``model/SpreadLightGCN/model.py`` + ``model/SpreadLightGCNOpti/
+model.py``. The fusion is the Hadamard product of
+
+  G — the "allocation weight matrix": layer-0 GCN preference scores with
+      train+val positives masked to -1024 (``SpreadLightGCN/model.py:55-104``)
+  F — the HybridS diffusion resource matrix over train+val interactions
+      (``SpreadLightGCN/model.py:106-120``)
+
+  F_new = G * F  (``SpreadLightGCN/model.py:151``; Opti ``model.py:241``)
+
+ranked with the spread-flavor ranker incl. seen filtering
+(``SpreadLightGCN/recommend.py:18-75``). SpreadLightGCNOpti differs only in
+using the feature-initialized LightGCNOpti embedding model (diff-verified,
+SURVEY.md section 2.7).
+
+Everything after training is one jitted program: scores, masking, diffusion,
+Hadamard, ranking.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lgcnhs_tpu.config import Config
+from lgcnhs_tpu.data.graph import InteractionGraph, interaction_matrix, pos_bool_matrix
+from lgcnhs_tpu.models.lightgcn import LightGCNParams, layer0_scores
+from lgcnhs_tpu.ops.diffusion import general_spreading_matrix, hybrid_resource
+from lgcnhs_tpu.ops.topk import MASK_VALUE, rank_exclude_seen
+from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
+
+
+@jax.jit
+def allocate_matrix(params: LightGCNParams, seen: jnp.ndarray) -> jnp.ndarray:
+    """G: layer-0 preference scores with train+val positives set to -1024
+    (``model/SpreadLightGCN/model.py:55-104``)."""
+    return jnp.where(seen, MASK_VALUE, layer0_scores(params))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def fused_recommend(
+    params: LightGCNParams,
+    A: jnp.ndarray,  # (U, I) train+val interaction matrix
+    seen: jnp.ndarray,  # (U, I) bool train+val positives
+    lam: jnp.ndarray,
+    k: int,
+) -> jnp.ndarray:
+    """G -> F -> F_new = G*F -> ranked top-k, one XLA program
+    (reference call chain ``SpreadLightGCN/model.py:122-153`` +
+    ``recommend.py:18-75``)."""
+    G = allocate_matrix(params, seen)
+    W_gen = general_spreading_matrix(A)
+    F = hybrid_resource(A, W_gen, lam)
+    F_new = G * F
+    return rank_exclude_seen(F_new, seen, k, filter_seen=True)
+
+
+def fusion_scores(
+    params: LightGCNParams,
+    A: np.ndarray,
+    seen: np.ndarray,
+    lam: float,
+) -> jnp.ndarray:
+    """F_new without the ranking step (lambda-sweep driver reuses G and W_gen;
+    see ``cli/find_lambda.py``)."""
+    G = allocate_matrix(params, jnp.asarray(seen))
+    W_gen = general_spreading_matrix(jnp.asarray(A))
+    F = hybrid_resource(jnp.asarray(A), W_gen, jnp.asarray(lam, A.dtype))
+    return G * F
+
+
+def recommend_fused(
+    graph: InteractionGraph,
+    cfg: Config,
+    params: LightGCNParams,
+) -> np.ndarray:
+    """(U, k) recommendations for SpreadLightGCN[Opti]."""
+    log = get_logger()
+    with stage_timer(f"{cfg.model} fused recommendation done", log):
+        A = interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+        seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+        rec = fused_recommend(
+            params,
+            jnp.asarray(A),
+            jnp.asarray(seen),
+            jnp.asarray(cfg.hparams.lambda_, A.dtype),
+            cfg.k,
+        )
+    return np.asarray(rec)

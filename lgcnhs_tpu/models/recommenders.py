@@ -1,0 +1,83 @@
+"""Model dispatch: load-or-train + recommend for every model family.
+
+Re-design of the per-model ``recommend.py`` drivers
+(``model/LightGCN/recommend.py:127-159``, ``model/LightGCNOpti/recommend.py``,
+``model/SpreadLightGCN/recommend.py``, ``model/SpreadLightGCNOpti/recommend.py``)
+plus the cache-else-train pattern (``model/LightGCN/recommend.py:148-154``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from lgcnhs_tpu.config import Config
+from lgcnhs_tpu.data.graph import InteractionGraph, pos_bool_matrix
+from lgcnhs_tpu.models.fusion import recommend_fused
+from lgcnhs_tpu.models.lightgcn import LightGCNParams, layer0_scores
+from lgcnhs_tpu.models.spread import recommend_spread_method
+from lgcnhs_tpu.ops.topk import masked_topk
+from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
+from lgcnhs_tpu.train.trainer import load_checkpoint, train_lightgcn
+
+
+def _embedding_model_name(model: str) -> str:
+    """Which embedding model a fusion/GCN model trains."""
+    return "LightGCNOpti" if model.endswith("Opti") else "LightGCN"
+
+
+def get_or_train_params(
+    graph: InteractionGraph,
+    cfg: Config,
+    user_features: Optional[np.ndarray] = None,
+    item_features: Optional[np.ndarray] = None,
+) -> LightGCNParams:
+    """Load the cached checkpoint else train (reference
+    ``model/LightGCN/recommend.py:148-154``)."""
+    log = get_logger()
+    name = _embedding_model_name(cfg.model)
+    ckpt = os.path.join(cfg.model_path, f"{cfg.k}_{name}.npz")
+    params = load_checkpoint(ckpt)
+    if params is not None:
+        if (
+            params.user_emb.shape[0] == graph.n_users
+            and params.item_emb.shape[0] == graph.n_items
+        ):
+            log.info("loaded cached %s checkpoint: %s", name, ckpt)
+            return params
+        log.info("cached checkpoint shape mismatch, retraining")
+    feats = (user_features, item_features) if name == "LightGCNOpti" else (None, None)
+    return train_lightgcn(graph, cfg, *feats).params
+
+
+def recommend_gcn(
+    graph: InteractionGraph, cfg: Config, params: LightGCNParams
+) -> np.ndarray:
+    """LightGCN[Opti] final recommendations: layer-0 scores, train AND val
+    positives masked to -1024, top-k
+    (``model/LightGCN/recommend.py:68-125``)."""
+    seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    rec = masked_topk(layer0_scores(params), jnp.asarray(seen), cfg.k)
+    return np.asarray(rec)
+
+
+def recommend(
+    graph: InteractionGraph,
+    cfg: Config,
+    user_features: Optional[np.ndarray] = None,
+    item_features: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Model switch — reference ``main.py:66-80``."""
+    model = cfg.model
+    if model in ("ProbS", "HeatS", "HybridS"):
+        return recommend_spread_method(graph, cfg, model)
+    params = get_or_train_params(graph, cfg, user_features, item_features)
+    if model in ("LightGCN", "LightGCNOpti"):
+        log = get_logger()
+        with stage_timer(f"{model} recommendation done", log):
+            return recommend_gcn(graph, cfg, params)
+    if model in ("SpreadLightGCN", "SpreadLightGCNOpti"):
+        return recommend_fused(graph, cfg, params)
+    raise ValueError(f"unknown model {model!r}")

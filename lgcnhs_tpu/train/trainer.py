@@ -1,0 +1,318 @@
+"""LightGCN / LightGCNOpti training loop.
+
+Re-design of ``model/LightGCN/train.py:62-223`` (and the byte-identical Opti
+flavor). Semantics preserved:
+
+- one "epoch" = ONE minibatch step of ``batch_size`` BPR triples sampled with
+  replacement from all train edges (``train.py:125-144``) — not a data sweep
+- the full-graph forward runs every step (``train.py:26-59``)
+- Adam(lr) + exponential decay by ``gamma`` applied every
+  ``epoch_per_lr_decay`` epochs, skipping epoch 0 (``train.py:104-105,180-181``):
+  lr(e) = lr0 * gamma^max(0, floor((e-1)/decay_every))
+- every ``epoch_per_eval`` epochs: val loss computed by FORWARDING ON THE VAL
+  ADJACENCY with structured negative sampling over all val edges
+  (``evaluation.py:56-86``), val recommendations from LAYER-0 scores with
+  train positives masked (``evaluation.py:17-54``), accuracy metrics vs val
+  positives and diversity metrics with TRAIN-only degrees/interactions
+  (``train.py:147-177``)
+- metric history saved to CSV and PNG curves (``train.py:190-221``)
+
+TPU re-design: the whole step (forward + sampling + loss + Adam update) is a
+single jitted, donated XLA program — zero host round-trips in steady state;
+eval is a second jitted program invoked every ``epoch_per_eval`` steps.
+Checkpointing saves params + optimizer state (the reference saves only the
+final whole module via torch.save, ``train.py:184``).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from lgcnhs_tpu.config import Config
+from lgcnhs_tpu.data.graph import (
+    InteractionGraph,
+    interaction_matrix,
+    item_degrees,
+    normalized_bipartite,
+    pos_bool_matrix,
+    user_pos_counts,
+    users_present,
+)
+from lgcnhs_tpu.models.lightgcn import (
+    LightGCNParams,
+    bpr_loss,
+    init_lightgcn,
+    init_lightgcn_opti,
+    layer0_scores,
+    sample_bpr_batch,
+)
+from lgcnhs_tpu.ops.propagation import lightgcn_propagate
+from lgcnhs_tpu.ops.topk import masked_topk
+from lgcnhs_tpu.ops import metrics_ops
+from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
+
+
+@dataclass
+class TrainResult:
+    params: LightGCNParams
+    history: Dict[str, List[float]] = field(default_factory=dict)
+
+
+def lr_schedule(lr0: float, gamma: float, decay_every: int):
+    """Reference ExponentialLR stepped every ``decay_every`` epochs except
+    epoch 0 (``train.py:180-181``)."""
+
+    def schedule(step):
+        exponent = jnp.maximum(0, (step - 1) // decay_every)
+        return lr0 * jnp.power(gamma, exponent.astype(jnp.float32))
+
+    return schedule
+
+
+def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers):
+    u_final, i_final = lightgcn_propagate(
+        params.user_emb, params.item_emb, R_hat, n_layers
+    )
+    return bpr_loss(
+        u_final[users],
+        params.user_emb[users],
+        i_final[pos_items],
+        params.item_emb[pos_items],
+        i_final[neg_items],
+        params.item_emb[neg_items],
+        epsilon,
+    )
+
+
+def make_train_step(optimizer, hp, n_items: int):
+    """One jitted epoch: sample -> forward -> BPR -> Adam update."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, key, R_hat, edge_users, edge_items, pos_mask):
+        users, pos_items, neg_items = sample_bpr_batch(
+            key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+        )
+        loss, grads = jax.value_and_grad(_loss_fn)(
+            params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+@partial(jax.jit, static_argnames=("n_layers",))
+def val_loss_fn(params, R_hat_val, users, pos_items, neg_items, epsilon, n_layers):
+    """Reference ``calValLoss``: forward on the VAL adjacency, BPR over all
+    val edges (``model/LightGCN/evaluation.py:56-86``)."""
+    return _loss_fn(params, R_hat_val, users, pos_items, neg_items, epsilon, n_layers)
+
+
+@partial(jax.jit, static_argnames=("k", "n_items"))
+def _val_eval(params, train_pos, val_pos, val_counts, val_present, train_interaction, train_deg, k, n_items):
+    """Val recommendations (layer-0 scores, train-masked) + all 6 metrics in
+    one device program."""
+    scores = layer0_scores(params)
+    rec = masked_topk(scores, train_pos, k)
+    p, r = metrics_ops.precision_recall(rec, val_pos, val_counts, val_present)
+    n = metrics_ops.ndcg_at_k(rec, val_pos, val_present)
+    h = metrics_ops.hamming_distance(rec, n_items)
+    i = metrics_ops.internal_similarity(rec, train_interaction, train_deg)
+    return rec, p, r, n, h, i
+
+
+def train_lightgcn(
+    graph: InteractionGraph,
+    cfg: Config,
+    user_features: Optional[np.ndarray] = None,
+    item_features: Optional[np.ndarray] = None,
+    save_artifacts: bool = True,
+) -> TrainResult:
+    """Train LightGCN (or LightGCNOpti when features are given).
+
+    Returns final params + the per-eval metric history the reference logs
+    and plots (``train.py:107-177``).
+    """
+    hp = cfg.hparams
+    log = get_logger()
+    U, I = graph.n_users, graph.n_items
+    dtype = jnp.dtype(cfg.compute.dtype)
+
+    key = jax.random.PRNGKey(hp.seed)
+    key, init_key = jax.random.split(key)
+    if user_features is not None and item_features is not None:
+        params = init_lightgcn_opti(
+            init_key,
+            jnp.asarray(user_features, dtype),
+            jnp.asarray(item_features, dtype),
+            hp.embedding_dim,
+            dtype,
+        )
+        model_name = "LightGCNOpti"
+    else:
+        params = init_lightgcn(init_key, U, I, hp.embedding_dim, dtype)
+        model_name = "LightGCN"
+
+    # static device-resident graph tensors
+    R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), dtype)
+    R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
+    edge_users = jnp.asarray(graph.train.users)
+    edge_items = jnp.asarray(graph.train.items)
+    val_edge_users = jnp.asarray(graph.val.users)
+    val_edge_items = jnp.asarray(graph.val.items)
+    train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
+    val_pos = jnp.asarray(pos_bool_matrix(U, I, graph.val))
+    val_counts = jnp.asarray(user_pos_counts(U, graph.val))
+    val_present = jnp.asarray(users_present(U, graph.val))
+    train_interaction = jnp.asarray(interaction_matrix(U, I, graph.train))
+    train_deg = jnp.asarray(item_degrees(I, graph.train))
+
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(optimizer, hp, I)
+
+    history: Dict[str, List[float]] = {
+        name: []
+        for name in (
+            "iters",
+            "train_loss",
+            "val_loss",
+            "val_precision",
+            "val_recall",
+            "val_f1",
+            "val_ndcg",
+            "val_H",
+            "val_I",
+        )
+    }
+
+    with stage_timer(f"{model_name} training done ({hp.epochs} epochs)", log):
+        for epoch in range(hp.epochs):
+            key, step_key = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params, opt_state, step_key, R_hat, edge_users, edge_items, train_pos
+            )
+
+            if epoch % hp.epoch_per_eval == 0:
+                key, vkey = jax.random.split(key)
+                v_users, v_pos, v_neg = sample_bpr_batch(
+                    vkey,
+                    val_edge_users,
+                    val_edge_items,
+                    val_pos,
+                    int(val_edge_users.shape[0]),
+                    I,
+                )
+                vloss = val_loss_fn(
+                    params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
+                )
+                _, p, r, n, h, i = _val_eval(
+                    params,
+                    train_pos,
+                    val_pos,
+                    val_counts,
+                    val_present,
+                    train_interaction,
+                    train_deg,
+                    cfg.k,
+                    I,
+                )
+                tl = round(float(loss), 5)
+                vl = round(float(vloss), 5)
+                p, r, n = round(float(p), 5), round(float(r), 5), round(float(n), 5)
+                f1 = round(2 * p * r / (p + r), 5) if (p + r) else 0.0
+                h, i = round(float(h), 5), round(float(i), 5)
+                history["iters"].append(epoch)
+                history["train_loss"].append(tl)
+                history["val_loss"].append(vl)
+                history["val_precision"].append(p)
+                history["val_recall"].append(r)
+                history["val_f1"].append(f1)
+                history["val_ndcg"].append(n)
+                history["val_H"].append(h)
+                history["val_I"].append(i)
+                log.info(
+                    "[Iteration %d/%d] train_loss: %s, val_loss: %s, "
+                    "val_precision@%d: %s, val_recall@%d: %s, val_f1@%d: %s, "
+                    "val_NDCG@%d: %s, val_H@%d: %s, val_I@%d: %s",
+                    epoch, hp.epochs, tl, vl,
+                    cfg.k, p, cfg.k, r, cfg.k, f1, cfg.k, n, cfg.k, h, cfg.k, i,
+                )
+
+    params = jax.tree.map(lambda x: jax.device_get(x), params)
+    params = LightGCNParams(*params)
+
+    if save_artifacts:
+        cfg.ensure_dirs()
+        save_checkpoint(
+            os.path.join(cfg.model_path, f"{cfg.k}_{model_name}.npz"), params
+        )
+        _save_history(cfg, model_name, history)
+    return TrainResult(params=params, history=history)
+
+
+def save_checkpoint(path: str, params: LightGCNParams) -> None:
+    """Final-params checkpoint (reference torch.save of the whole module,
+    ``train.py:184``; we save arrays, loadable anywhere)."""
+    np.savez(path, user_emb=np.asarray(params.user_emb), item_emb=np.asarray(params.item_emb))
+
+
+def load_checkpoint(path: str) -> Optional[LightGCNParams]:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as data:
+        return LightGCNParams(
+            user_emb=jnp.asarray(data["user_emb"]),
+            item_emb=jnp.asarray(data["item_emb"]),
+        )
+
+
+def _save_history(cfg: Config, model_name: str, history: Dict[str, List[float]]) -> None:
+    """CSV + metric curve PNGs (``train.py:190-221``)."""
+    import pandas as pd
+
+    base = os.path.join(cfg.pictures_path, f"{model_name}_{cfg.k}")
+    pd.DataFrame(history).to_csv(base + "_val_metrics.csv", index=False)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        iters = history["iters"]
+        fig = plt.figure()
+        plt.plot(iters, history["train_loss"], label="train")
+        plt.plot(iters, history["val_loss"], label="validation")
+        plt.xlabel("iteration")
+        plt.ylabel("loss")
+        plt.title("training and validation loss curves")
+        plt.legend()
+        plt.savefig(base + "_loss_curves.png")
+        plt.close(fig)
+        for metric, label in (
+            ("val_precision", "precision"),
+            ("val_recall", "recall"),
+            ("val_f1", "F1-score"),
+            ("val_ndcg", "NDCG"),
+            ("val_H", "H"),
+            ("val_I", "I"),
+        ):
+            fig = plt.figure()
+            plt.plot(iters, history[metric])
+            plt.xlabel("iteration")
+            plt.ylabel(label)
+            plt.title(f"{label} curves")
+            plt.savefig(f"{base}_{label}.png")
+            plt.close(fig)
+    except Exception as exc:  # plotting must never kill training
+        get_logger().warning("plotting failed: %s", exc)

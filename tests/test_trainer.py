@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+
+from lgcnhs_tpu.config import load_config
+from lgcnhs_tpu.data.graph import build_graph
+from lgcnhs_tpu.data.ratings import prepare_ratings
+from lgcnhs_tpu.data.synthetic import synthesize_features, synthesize_movielens_like
+from lgcnhs_tpu.train.trainer import (
+    load_checkpoint,
+    lr_schedule,
+    save_checkpoint,
+    train_lightgcn,
+)
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    df = synthesize_movielens_like(60, 90, 3000, seed=3)
+    splits = prepare_ratings(df, cfg)
+    return build_graph(splits), cfg
+
+
+def test_lr_schedule_reference_semantics():
+    """lr0 * gamma^max(0, floor((e-1)/200)): decay at 201, 401, ... matching
+    scheduler.step() every 200 epochs skipping epoch 0
+    (model/LightGCN/train.py:180-181)."""
+    sched = lr_schedule(1e-3, 0.95, 200)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(200)) == pytest.approx(1e-3)
+    assert float(sched(201)) == pytest.approx(1e-3 * 0.95)
+    assert float(sched(400)) == pytest.approx(1e-3 * 0.95)
+    assert float(sched(401)) == pytest.approx(1e-3 * 0.95**2)
+
+
+def test_training_reduces_loss(small_graph):
+    graph, cfg = small_graph
+    cfg = cfg.replace(
+        hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epochs": 60, "epoch_per_eval": 20, "batch_size": 256}
+        )
+    )
+    result = train_lightgcn(graph, cfg, save_artifacts=False)
+    assert result.params.user_emb.shape == (graph.n_users, cfg.hparams.embedding_dim)
+    losses = result.history["train_loss"]
+    assert len(losses) == 3
+    # the sign-flipped BPR decreases (more negative) as ranking improves
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(v) for v in losses)
+    # eval metrics recorded each eval epoch
+    assert len(result.history["val_precision"]) == 3
+    assert result.history["iters"] == [0, 20, 40]
+
+
+def test_training_with_features_opti(small_graph):
+    graph, cfg = small_graph
+    cfg = cfg.replace(
+        model="LightGCNOpti",
+        hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epochs": 10, "epoch_per_eval": 5, "batch_size": 128}
+        ),
+    )
+    uf = synthesize_features(graph.n_users, 12, 0)
+    itf = synthesize_features(graph.n_items, 9, 1)
+    result = train_lightgcn(graph, cfg, uf, itf, save_artifacts=False)
+    assert np.isfinite(result.history["train_loss"]).all()
+
+
+def test_checkpoint_roundtrip(tmp_path, small_graph):
+    graph, cfg = small_graph
+    cfg = cfg.replace(
+        hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epochs": 3, "epoch_per_eval": 2}
+        )
+    )
+    result = train_lightgcn(graph, cfg, save_artifacts=False)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, result.params)
+    loaded = load_checkpoint(path)
+    np.testing.assert_allclose(
+        np.asarray(loaded.user_emb), np.asarray(result.params.user_emb)
+    )
+    assert load_checkpoint(str(tmp_path / "missing.npz")) is None
