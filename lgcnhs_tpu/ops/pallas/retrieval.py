@@ -1,0 +1,121 @@
+"""Fused retrieval kernel: scores + seen-mask + top-k in one Pallas pass.
+
+The reference materializes the full (U, I) preference matrix in memory, masks
+it with Python index lists, and calls torch.topk
+(``model/LightGCN/recommend.py:83-114``). At serving scale that matrix is the
+HBM-bandwidth bottleneck. This kernel never writes it: for each 128-user
+block it computes scores on the MXU into VMEM, applies the -1024 seen mask,
+and selects the top-k by iterative masked argmax on the VPU — O(k) passes
+over a block that stays on-chip.
+
+Mosaic has no top_k/sort lowering (probed: NotImplementedError), so selection
+is emulated with max + first-argmax (iota/min trick), which reproduces
+torch.topk's lowest-index tie rule exactly.
+
+VMEM budget: the (128, I) f32 score block must fit on-chip; I up to ~200k
+is fine (103 KB per 128-item column block). Larger catalogs should use the
+sharded distributed top-k (``parallel/sharding.py``) over item blocks, which
+composes with this kernel per shard.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lgcnhs_tpu.ops.topk import MASK_VALUE
+
+_NEG_INF = -3.0e38
+USER_BLOCK = 128
+
+
+def _retrieval_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref, scores):
+    """One user block: scores -> mask -> k x (max, first-argmax, knock-out).
+
+    Selections accumulate into fori_loop-carried (BU, k) values via one-hot
+    writes — Mosaic cannot vectorize a column store at a dynamic lane index
+    ("index in dimension 1 is a multiple of 128"), but whole-block stores at
+    the end are free.
+    """
+    k = idx_ref.shape[1]
+    n_items = it_ref.shape[0]
+
+    s = jnp.dot(u_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
+    s = jnp.where(seen_ref[:] != 0, MASK_VALUE, s)
+    scores[:] = s
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, dimension=1)
+
+    def select_one(t, carry):
+        idx_acc, val_acc = carry
+        cur = scores[:]
+        row_max = jnp.max(cur, axis=1, keepdims=True)
+        first_idx = jnp.min(jnp.where(cur == row_max, col, n_items), axis=1)
+        slot = col_k == t
+        idx_acc = jnp.where(slot, first_idx[:, None], idx_acc)
+        val_acc = jnp.where(slot, row_max, val_acc)
+        scores[:] = jnp.where(col == first_idx[:, None], _NEG_INF, cur)
+        return idx_acc, val_acc
+
+    idx_acc, val_acc = jax.lax.fori_loop(
+        0,
+        k,
+        select_one,
+        (
+            jnp.zeros(idx_ref.shape, jnp.int32),
+            jnp.full(val_ref.shape, _NEG_INF, jnp.float32),
+        ),
+    )
+    idx_ref[:] = idx_acc
+    val_ref[:] = val_acc
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def fused_topk_retrieval(
+    user_emb: jnp.ndarray,  # (U, D)
+    item_emb: jnp.ndarray,  # (I, D)
+    seen: jnp.ndarray,  # (U, I) bool
+    k: int,
+    interpret: bool = False,
+):
+    """(indices (U, k) int32, values (U, k) f32) of the masked preference
+    top-k, computed without materializing scores in HBM."""
+    U, D = user_emb.shape
+    I = item_emb.shape[0]
+
+    # pad to hardware tiles: users to 128 rows, items to 128 lanes
+    U_pad = -(-U // USER_BLOCK) * USER_BLOCK
+    I_pad = -(-I // 128) * 128
+    u = jnp.pad(user_emb, ((0, U_pad - U), (0, 0)))
+    it = jnp.pad(item_emb, ((0, I_pad - I), (0, 0)))
+    # padded items must never win: mark them seen
+    seen_i8 = jnp.pad(
+        seen.astype(jnp.int8), ((0, U_pad - U), (0, I_pad - I)), constant_values=1
+    )
+
+    grid = (U_pad // USER_BLOCK,)
+    idx, vals = pl.pallas_call(
+        _retrieval_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((USER_BLOCK, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I_pad, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((USER_BLOCK, I_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((USER_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((USER_BLOCK, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((U_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, k), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((USER_BLOCK, I_pad), jnp.float32)],
+        interpret=interpret,
+    )(u, it, seen_i8)
+    return idx[:U], vals[:U]

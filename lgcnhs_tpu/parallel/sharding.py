@@ -1,0 +1,168 @@
+"""Multi-device sharding strategy.
+
+The reference is strictly single-device (``model/LightGCN/train.py:87``); this
+module supplies the distributed layer SURVEY.md section 2.9 specifies:
+
+- embedding tables ROW-SHARDED over the "model" mesh axis (the catalog axes
+  U and I are what outgrow a chip, not the batch)
+- the bipartite incidence R_hat column-sharded on items so propagation
+  u' = R_hat . e_i contracts shard-locally and psums over "model"
+  (XLA GSPMD inserts the collectives from the NamedSharding annotations)
+- the item-item diffusion operator W column-sharded by item blocks; the two
+  diffusion matmuls become collective matmuls over ICI
+- full-catalog scoring sharded on items with an explicit shard_map
+  DISTRIBUTED TOP-K: local top-k per item shard, offset to global ids,
+  all-gather the (n_shards * k) candidates, merge with a second top-k
+- minibatch index arrays sharded over "data"; optimizer state follows the
+  tables (optax state is a pytree of table-shaped arrays, so the same
+  sharding tree applies)
+
+Everything is expressed as input shardings + one jit — GSPMD propagates and
+inserts psum/all-gather where contractions cross shards.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from lgcnhs_tpu.models.lightgcn import LightGCNParams, bpr_loss, sample_bpr_batch
+from lgcnhs_tpu.ops.propagation import lightgcn_propagate
+from lgcnhs_tpu.ops.topk import MASK_VALUE
+from lgcnhs_tpu.runtime.mesh import DATA_AXIS, MODEL_AXIS
+
+
+class ShardingPlan(NamedTuple):
+    mesh: Mesh
+    params: LightGCNParams  # shardings, not arrays
+    r_hat: NamedSharding
+    pos_mask: NamedSharding
+    edges: NamedSharding
+    replicated: NamedSharding
+
+
+def make_plan(mesh: Mesh) -> ShardingPlan:
+    row = NamedSharding(mesh, P(MODEL_AXIS, None))
+    return ShardingPlan(
+        mesh=mesh,
+        params=LightGCNParams(user_emb=row, item_emb=row),
+        # R_hat (U, I): items on the model axis so R_hat.T @ e_u and
+        # e_i row-shards line up
+        r_hat=NamedSharding(mesh, P(None, MODEL_AXIS)),
+        pos_mask=NamedSharding(mesh, P(None, MODEL_AXIS)),
+        edges=NamedSharding(mesh, P(DATA_AXIS)),
+        replicated=NamedSharding(mesh, P()),
+    )
+
+
+def _pad_len(n: int, parts: int) -> int:
+    return -(-n // parts) * parts
+
+
+def shard_train_inputs(plan: ShardingPlan, R_hat, pos_mask, edge_users, edge_items):
+    """Pad the edge list to the data-axis size and device_put everything with
+    its sharding. Padding repeats edge 0 — harmless for sampling (uniform
+    with replacement already)."""
+    n_data = plan.mesh.shape[DATA_AXIS]
+    E = edge_users.shape[0]
+    target = _pad_len(E, n_data)
+    if target != E:
+        pad = target - E
+        edge_users = np.concatenate([edge_users, edge_users[:pad]])
+        edge_items = np.concatenate([edge_items, edge_items[:pad]])
+    return (
+        jax.device_put(jnp.asarray(R_hat), plan.r_hat),
+        jax.device_put(jnp.asarray(pos_mask), plan.pos_mask),
+        jax.device_put(jnp.asarray(edge_users), plan.edges),
+        jax.device_put(jnp.asarray(edge_items), plan.edges),
+    )
+
+
+def shard_params(plan: ShardingPlan, params: LightGCNParams) -> LightGCNParams:
+    return LightGCNParams(
+        user_emb=jax.device_put(params.user_emb, plan.params.user_emb),
+        item_emb=jax.device_put(params.item_emb, plan.params.item_emb),
+    )
+
+
+def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
+    """The single-chip train step, compiled against sharded inputs. GSPMD
+    turns the bipartite matmuls into collective matmuls over the model axis
+    and the batch gathers into all-to-all-style exchanges."""
+
+    def _loss(params, R_hat, users, pos_items, neg_items):
+        u_final, i_final = lightgcn_propagate(
+            params.user_emb, params.item_emb, R_hat, hp.layers
+        )
+        return bpr_loss(
+            u_final[users],
+            params.user_emb[users],
+            i_final[pos_items],
+            params.item_emb[pos_items],
+            i_final[neg_items],
+            params.item_emb[neg_items],
+            hp.epsilon,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, key, R_hat, edge_users, edge_items, pos_mask):
+        users, pos_items, neg_items = sample_bpr_batch(
+            key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+        )
+        loss, grads = jax.value_and_grad(_loss)(
+            params, R_hat, users, pos_items, neg_items
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def distributed_masked_topk(
+    mesh: Mesh,
+    scores: jnp.ndarray,  # (U, I) item-sharded on MODEL_AXIS
+    seen: jnp.ndarray,  # (U, I) bool, same sharding
+    k: int,
+) -> jnp.ndarray:
+    """Explicit two-phase distributed top-k (SURVEY.md section 2.9 / "hard parts"):
+    each item shard takes a LOCAL top-k of masked scores (k <= shard width
+    required), offsets local ids to global, then one merge top-k over the
+    all-gathered n_shards*k candidates. Because candidates concatenate in
+    shard order, the merge preserves torch.topk's lowest-global-index tie
+    rule. Masking BEFORE the local top-k keeps the seen-item exclusion exact:
+    an excluded item can only displace candidates at the -1024 floor, same
+    as the single-device semantics."""
+    n_shards = mesh.shape[MODEL_AXIS]
+    n_items = scores.shape[1]
+    if n_items % n_shards != 0:
+        raise ValueError(f"item axis {n_items} not divisible by mesh {n_shards}")
+    block = n_items // n_shards
+    if k > block:
+        raise ValueError(f"k={k} exceeds shard width {block}")
+
+    def local_topk(scores_blk, seen_blk):
+        masked = jnp.where(seen_blk, MASK_VALUE, scores_blk)
+        vals, idx = jax.lax.top_k(masked, k)
+        base = jax.lax.axis_index(MODEL_AXIS) * block
+        return vals, idx + base
+
+    vals, idx = shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+        out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+    )(scores, seen)
+
+    @jax.jit
+    def merge(vals, idx):
+        _, sel = jax.lax.top_k(vals, k)
+        return jnp.take_along_axis(idx, sel, axis=1)
+
+    return merge(vals, idx)
