@@ -90,9 +90,21 @@ def diversity_metrics(ctx: EvalContext, rec: np.ndarray) -> Tuple[float, float]:
     return round(float(h), 5), round(float(i), 5)
 
 
-def evaluate_recommendations(ctx: EvalContext, rec: np.ndarray) -> dict:
-    """All six metrics as a dict (reference drivers log P/R/F1/NDCG/H/I,
-    ``main.py:99-106``)."""
+def novelty_metric(ctx: EvalContext, rec: np.ndarray) -> float:
+    """Average recommended-item degree (reference
+    ``waste/metrics/novelty.py:11-48``)."""
+    return round(float(metrics_ops.novelty_avg_degree(rec, ctx.item_deg)), 5)
+
+
+def evaluate_recommendations(
+    ctx: EvalContext, rec: np.ndarray, include_novelty: bool = False
+) -> dict:
+    """All six reference metrics as a dict (reference drivers log
+    P/R/F1/NDCG/H/I, ``main.py:99-106``); novelty optional (the reference
+    prototyped it in ``waste/`` but never wired it in)."""
     p, r, f1, n = accurate_metrics(ctx, rec)
     h, i = diversity_metrics(ctx, rec)
-    return {"P": p, "R": r, "F1": f1, "NDCG": n, "H": h, "I": i}
+    out = {"P": p, "R": r, "F1": f1, "NDCG": n, "H": h, "I": i}
+    if include_novelty:
+        out["Novelty"] = novelty_metric(ctx, rec)
+    return out

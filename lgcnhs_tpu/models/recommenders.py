@@ -16,9 +16,9 @@ import numpy as np
 from lgcnhs_tpu.config import Config
 from lgcnhs_tpu.data.graph import InteractionGraph, pos_bool_matrix
 from lgcnhs_tpu.models.fusion import recommend_fused
-from lgcnhs_tpu.models.lightgcn import LightGCNParams, layer0_scores
+from lgcnhs_tpu.models.lightgcn import LightGCNParams
 from lgcnhs_tpu.models.spread import recommend_spread_method
-from lgcnhs_tpu.ops.topk import masked_topk
+from lgcnhs_tpu.ops.topk import retrieve_topk
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
 from lgcnhs_tpu.train.trainer import load_checkpoint, train_lightgcn
 
@@ -59,7 +59,7 @@ def recommend_gcn(
     positives masked to -1024, top-k
     (``model/LightGCN/recommend.py:68-125``)."""
     seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
-    rec = masked_topk(layer0_scores(params), jnp.asarray(seen), cfg.k)
+    rec = retrieve_topk(params.user_emb, params.item_emb, jnp.asarray(seen), cfg.k)
     return np.asarray(rec)
 
 

@@ -116,6 +116,15 @@ def internal_similarity(
     return (quad - diag_term) / (U * k * (k - 1))
 
 
+@jax.jit
+def novelty_avg_degree(rec: jnp.ndarray, item_deg: jnp.ndarray) -> jnp.ndarray:
+    """Novelty = mean train degree of recommended items — the metric the
+    reference author prototyped but abandoned
+    (``waste/metrics/novelty.py:11-48``; lower = more novel)."""
+    U, k = rec.shape
+    return jnp.sum(item_deg.astype(jnp.float32)[rec]) / (U * k)
+
+
 @partial(jax.jit, static_argnames=())
 def all_accuracy_metrics(rec, pos, pos_counts, present):
     """Fused P/R/NDCG in one compiled program (single device sync)."""
