@@ -1,0 +1,114 @@
+"""Multi-device scaling measurement harness.
+
+BASELINE.md's speed protocol calls for examples/s measured at 1 chip, 1 host,
+and >=2 hosts with >=80% scaling efficiency. This driver measures the sharded
+train step at a ladder of mesh sizes on whatever devices exist (real TPU
+chips, or virtual CPU devices via
+``XLA_FLAGS=--xla_force_host_platform_device_count=N`` for harness testing)
+and prints an efficiency table.
+
+Usage:
+  python -m lgcnhs_tpu.cli.scaling --users 6040 --items 3706 \
+      --interactions 1000000 --steps 50 --meshes 1 2 4 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure_mesh(n_model: int, graph, hp, steps: int) -> float:
+    import jax
+    import optax
+
+    from lgcnhs_tpu.data.graph import normalized_bipartite, pos_bool_matrix
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.parallel.sharding import (
+        make_plan,
+        make_sharded_train_step,
+        shard_params,
+        shard_train_inputs,
+    )
+    from lgcnhs_tpu.runtime.mesh import make_mesh
+    from lgcnhs_tpu.train.trainer import lr_schedule
+
+    mesh = make_mesh((1, n_model))
+    plan = make_plan(mesh)
+    U, I = graph.n_users, graph.n_items
+    R_hat, pos_mask, eu, ei = shard_train_inputs(
+        plan,
+        normalized_bipartite(U, I, graph.train),
+        pos_bool_matrix(U, I, graph.train),
+        graph.train.users,
+        graph.train.items,
+    )
+    params = shard_params(plan, init_lightgcn(jax.random.PRNGKey(0), U, I, hp.embedding_dim))
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+    opt_state = optimizer.init(params)
+    step = make_sharded_train_step(plan, optimizer, hp, I)
+
+    key = jax.random.PRNGKey(3)
+    key, sub = jax.random.split(key)
+    params, opt_state, loss = step(params, opt_state, sub, R_hat, eu, ei, pos_mask)
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub, R_hat, eu, ei, pos_mask)
+    loss.block_until_ready()
+    return hp.batch_size * steps / (time.perf_counter() - t0)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--users", type=int, default=943)
+    parser.add_argument("--items", type=int, default=1682)
+    parser.add_argument("--interactions", type=int, default=100_000)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--batch-size", type=int, default=1024)
+    parser.add_argument("--meshes", type=int, nargs="+", default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from lgcnhs_tpu.cli.common import enable_compilation_cache
+    from lgcnhs_tpu.config import load_config
+    from lgcnhs_tpu.data.graph import build_graph
+    from lgcnhs_tpu.data.ratings import prepare_ratings
+    from lgcnhs_tpu.data.synthetic import synthesize_movielens_like
+
+    enable_compilation_cache()
+    n_dev = len(jax.devices())
+    meshes = args.meshes or [m for m in (1, 2, 4, 8, 16) if m <= n_dev]
+    meshes = [m for m in meshes if m <= n_dev]
+
+    cfg = load_config(env="prod", dataset="synthetic", model="LightGCN")
+    hp = cfg.hparams.__class__(
+        **{**cfg.hparams.__dict__, "batch_size": args.batch_size}
+    )
+    df = synthesize_movielens_like(args.users, args.items, args.interactions, seed=42)
+    splits = prepare_ratings(df, cfg)
+    graph = build_graph(splits)
+
+    rows = []
+    base_rate = None
+    for m in meshes:
+        rate = measure_mesh(m, graph, hp, args.steps)
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * m)
+        rows.append({"devices": m, "examples_per_sec": round(rate, 1),
+                     "speedup": round(rate / base_rate, 2),
+                     "efficiency": round(eff, 3)})
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

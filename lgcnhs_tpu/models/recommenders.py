@@ -20,7 +20,6 @@ from lgcnhs_tpu.models.lightgcn import LightGCNParams
 from lgcnhs_tpu.models.spread import recommend_spread_method
 from lgcnhs_tpu.ops.topk import retrieve_topk
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
-from lgcnhs_tpu.train.trainer import load_checkpoint, train_lightgcn
 
 
 def _embedding_model_name(model: str) -> str:
@@ -36,6 +35,9 @@ def get_or_train_params(
 ) -> LightGCNParams:
     """Load the cached checkpoint else train (reference
     ``model/LightGCN/recommend.py:148-154``)."""
+    # deferred import: models package <-> trainer would otherwise be circular
+    from lgcnhs_tpu.train.trainer import load_checkpoint, train_lightgcn
+
     log = get_logger()
     name = _embedding_model_name(cfg.model)
     ckpt = os.path.join(cfg.model_path, f"{cfg.k}_{name}.npz")

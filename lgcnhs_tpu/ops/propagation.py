@@ -27,24 +27,44 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("n_layers",))
+@partial(jax.jit, static_argnames=("n_layers", "bf16_matmul"))
 def lightgcn_propagate(
     user_emb: jnp.ndarray,  # (U, D) e_u^0
     item_emb: jnp.ndarray,  # (I, D) e_i^0
     R_hat: jnp.ndarray,  # (U, I) normalized bipartite incidence
     n_layers: int = 3,
+    bf16_matmul: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense-path forward: returns (e_u^final, e_i^final) = per-side mean over
-    layer stack 0..K (``model/LightGCN/model.py:60-72``)."""
+    layer stack 0..K (``model/LightGCN/model.py:60-72``).
+
+    ``bf16_matmul=True`` is the MXU speed path: matmul INPUTS in bfloat16,
+    accumulation and the layer mean in float32 (embeddings after sym-
+    normalized propagation tolerate bf16 inputs; parity tests run the f32
+    path).
+    """
     eu, ei = user_emb, item_emb
     acc_u, acc_i = eu, ei
-    for _ in range(n_layers):
-        eu, ei = (
-            jnp.dot(R_hat, ei, precision=jax.lax.Precision.HIGHEST, preferred_element_type=eu.dtype),
-            jnp.dot(R_hat.T, eu, precision=jax.lax.Precision.HIGHEST, preferred_element_type=ei.dtype),
+    if bf16_matmul:
+        Rl = R_hat.astype(jnp.bfloat16)
+        dot = lambda a, b: jnp.dot(
+            a, b.astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
+        for _ in range(n_layers):
+            eu, ei = dot(Rl, ei), dot(Rl.T, eu)
+            acc_u = acc_u + eu
+            acc_i = acc_i + ei
+    else:
+        dot = lambda a, b: jnp.dot(
+            a,
+            b,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=b.dtype,
+        )
+        for _ in range(n_layers):
+            eu, ei = dot(R_hat, ei), dot(R_hat.T, eu)
+            acc_u = acc_u + eu
+            acc_i = acc_i + ei
     scale = 1.0 / (n_layers + 1)
     return acc_u * scale, acc_i * scale
 

@@ -76,9 +76,10 @@ def lr_schedule(lr0: float, gamma: float, decay_every: int):
     return schedule
 
 
-def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers):
+def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
+             bf16_matmul=False):
     u_final, i_final = lightgcn_propagate(
-        params.user_emb, params.item_emb, R_hat, n_layers
+        params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
     )
     return bpr_loss(
         u_final[users],
@@ -91,7 +92,7 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers):
     )
 
 
-def make_train_step(optimizer, hp, n_items: int):
+def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False):
     """One jitted epoch: sample -> forward -> BPR -> Adam update."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -100,7 +101,8 @@ def make_train_step(optimizer, hp, n_items: int):
             key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
         )
         loss, grads = jax.value_and_grad(_loss_fn)(
-            params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers
+            params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers,
+            bf16_matmul,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -135,16 +137,23 @@ def train_lightgcn(
     user_features: Optional[np.ndarray] = None,
     item_features: Optional[np.ndarray] = None,
     save_artifacts: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> TrainResult:
     """Train LightGCN (or LightGCNOpti when features are given).
 
     Returns final params + the per-eval metric history the reference logs
-    and plots (``train.py:107-177``).
+    and plots (``train.py:107-177``). With ``checkpoint_dir`` set, the full
+    (params, optimizer) state is orbax-checkpointed every
+    ``checkpoint_every`` epochs and training resumes from the latest
+    checkpoint — mid-train resume the reference lacks (SURVEY.md section 5.4).
     """
     hp = cfg.hparams
     log = get_logger()
     U, I = graph.n_users, graph.n_items
-    dtype = jnp.dtype(cfg.compute.dtype)
+    # "bfloat16" selects mixed precision: params/optimizer stay f32 (Adam
+    # moments need it), only the propagation matmul inputs are cast to bf16.
+    dtype = jnp.float32 if cfg.compute.dtype == "bfloat16" else jnp.dtype(cfg.compute.dtype)
 
     key = jax.random.PRNGKey(hp.seed)
     key, init_key = jax.random.split(key)
@@ -179,7 +188,20 @@ def train_lightgcn(
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = optimizer.init(params)
-    train_step = make_train_step(optimizer, hp, I)
+    train_step = make_train_step(
+        optimizer, hp, I, bf16_matmul=(cfg.compute.dtype == "bfloat16")
+    )
+
+    start_epoch = 0
+    if checkpoint_dir:
+        from lgcnhs_tpu.train.checkpoint import restore_train_state
+
+        restored = restore_train_state(checkpoint_dir, params, opt_state)
+        if restored is not None:
+            start_epoch, params, opt_state = restored
+            params = LightGCNParams(*params)
+            start_epoch += 1
+            log.info("resumed from checkpoint at epoch %d", start_epoch - 1)
 
     history: Dict[str, List[float]] = {
         name: []
@@ -197,14 +219,21 @@ def train_lightgcn(
     }
 
     with stage_timer(f"{model_name} training done ({hp.epochs} epochs)", log):
-        for epoch in range(hp.epochs):
-            key, step_key = jax.random.split(key)
+        for epoch in range(start_epoch, hp.epochs):
+            # per-epoch keys derived by fold_in: stateless, so checkpoint
+            # resume continues the exact sample stream
+            step_key = jax.random.fold_in(key, epoch)
             params, opt_state, loss = train_step(
                 params, opt_state, step_key, R_hat, edge_users, edge_items, train_pos
             )
 
+            if checkpoint_dir and checkpoint_every and epoch % checkpoint_every == 0 and epoch:
+                from lgcnhs_tpu.train.checkpoint import save_train_state
+
+                save_train_state(checkpoint_dir, epoch, params, opt_state)
+
             if epoch % hp.epoch_per_eval == 0:
-                key, vkey = jax.random.split(key)
+                vkey = jax.random.fold_in(key, hp.epochs + epoch)
                 v_users, v_pos, v_neg = sample_bpr_batch(
                     vkey,
                     val_edge_users,

@@ -1,0 +1,88 @@
+"""Orbax sharded checkpoint / mid-train resume."""
+import numpy as np
+import pytest
+
+from lgcnhs_tpu.config import load_config
+from lgcnhs_tpu.data.graph import build_graph
+from lgcnhs_tpu.data.ratings import prepare_ratings
+from lgcnhs_tpu.data.synthetic import synthesize_movielens_like
+from lgcnhs_tpu.train.trainer import train_lightgcn
+
+
+@pytest.fixture(scope="module")
+def graph_and_cfg():
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    df = synthesize_movielens_like(40, 60, 1500, seed=8)
+    splits = prepare_ratings(df, cfg)
+    return build_graph(splits), cfg
+
+
+def _with_epochs(cfg, epochs):
+    return cfg.replace(
+        hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epochs": epochs, "epoch_per_eval": 1000,
+               "batch_size": 64}
+        )
+    )
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path, graph_and_cfg):
+    graph, cfg = graph_and_cfg
+
+    # uninterrupted 20-epoch run
+    full = train_lightgcn(graph, _with_epochs(cfg, 20), save_artifacts=False)
+
+    # interrupted run: 20 epochs with checkpoints every 10 -> resume
+    ckpt = str(tmp_path / "ckpt")
+    _ = train_lightgcn(
+        graph,
+        _with_epochs(cfg, 11),  # stops after epoch 10 checkpoint
+        save_artifacts=False,
+        checkpoint_dir=ckpt,
+        checkpoint_every=10,
+    )
+    resumed = train_lightgcn(
+        graph,
+        _with_epochs(cfg, 20),
+        save_artifacts=False,
+        checkpoint_dir=ckpt,
+        checkpoint_every=10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.params.user_emb),
+        np.asarray(full.params.user_emb),
+        rtol=2e-4,
+        atol=1e-5,
+    )
+
+
+def test_roundtrip_sharded_state(tmp_path):
+    import jax
+    import optax
+
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.parallel.sharding import make_plan, shard_params
+    from lgcnhs_tpu.runtime.mesh import make_mesh
+    from lgcnhs_tpu.train.checkpoint import restore_train_state, save_train_state
+
+    mesh = make_mesh((1, 8))
+    plan = make_plan(mesh)
+    params = shard_params(plan, init_lightgcn(jax.random.PRNGKey(0), 32, 64, 8))
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    path = str(tmp_path / "sharded")
+    save_train_state(path, 5, params, opt_state)
+    restored = restore_train_state(path, params, opt_state)
+    assert restored is not None
+    step, r_params, r_opt = restored
+    assert step == 5
+    np.testing.assert_allclose(np.asarray(r_params[0]), np.asarray(params.user_emb))
+    # restored arrays keep their row sharding
+    assert r_params[0].sharding.spec == params.user_emb.sharding.spec
+
+
+def test_restore_missing_returns_none(tmp_path):
+    from lgcnhs_tpu.train.checkpoint import restore_train_state
+
+    assert restore_train_state(str(tmp_path / "nope"), None, None) is None
