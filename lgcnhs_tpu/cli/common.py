@@ -28,6 +28,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "--interactions", type=int, default=None, help="synthetic interaction count"
     )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR",
+    )
     return p
 
 

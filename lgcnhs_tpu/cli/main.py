@@ -13,17 +13,33 @@ from __future__ import annotations
 
 import json
 
+import contextlib
+
 from lgcnhs_tpu.cli.common import base_parser, config_from_args, load_pipeline
 from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
 from lgcnhs_tpu.models.recommenders import recommend
 from lgcnhs_tpu.runtime.cache import ArtifactCache
-from lgcnhs_tpu.runtime.logging import get_logger
+from lgcnhs_tpu.runtime.logging import get_logger, profile_trace
 
 
 def main(argv=None) -> dict:
-    args = base_parser(__doc__).parse_args(argv)
+    parser = base_parser(__doc__)
+    parser.add_argument(
+        "--target-user",
+        type=int,
+        default=None,
+        help="also print this (internal) user's recommendation list "
+        "(douban config's target_user concept, const.py:244)",
+    )
+    args = parser.parse_args(argv)
     cfg = config_from_args(args)
     log = get_logger("lgcnhs", cfg.log_path)
+    trace = profile_trace(args.profile) if args.profile else contextlib.nullcontext()
+    with trace:
+        return _run(args, cfg, log)
+
+
+def _run(args, cfg, log) -> dict:
 
     log.info("Step1: loading preprocessed data")
     graph, user_features, item_features = load_pipeline(cfg)
@@ -50,6 +66,12 @@ def main(argv=None) -> dict:
         "[%s Test Diversity] H@%d: %s, I@%d: %s",
         cfg.model, cfg.k, metrics["H"], cfg.k, metrics["I"],
     )
+    if args.target_user is not None and 0 <= args.target_user < graph.n_users:
+        log.info(
+            "recommendations for user %d: %s",
+            args.target_user,
+            rec[args.target_user].tolist(),
+        )
     print(json.dumps({"model": cfg.model, "k": cfg.k, **metrics}))
     return metrics
 

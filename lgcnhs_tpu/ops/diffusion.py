@@ -77,6 +77,54 @@ def hybrid_resource(A: jnp.ndarray, W_gen: jnp.ndarray, lam: jnp.ndarray) -> jnp
     return resource(A, hybrid_transfer(A, W_gen, lam))
 
 
+@partial(jax.jit, static_argnames=("block", "transpose_w"))
+def blocked_diffusion_scores(
+    A: jnp.ndarray, lam: jnp.ndarray, block: int = 512, transpose_w: bool = False
+) -> jnp.ndarray:
+    """F = A . HybridS(W_gen) computed by ITEM-COLUMN BLOCKS so the (I, I)
+    transfer matrix never materializes.
+
+    The reference (and the plain ``diffusion_scores``) builds W as a dense
+    I x I array (``model/SpreadMethod/model.py:83``) — 40 GB at I=100k. Here
+    each block j computes T_j = An^T A[:, j] (I x B), scales it by the degree
+    blend, and immediately contracts F[:, j] = A T_j; peak extra memory is one
+    I x B block. Wall-clock FLOPs are identical (two chained matmuls), so the
+    MXU stays busy; XLA pipelines the lax.map over blocks.
+    """
+    U, I = A.shape
+    if I % block != 0:
+        # fall back to the dense path rather than padding the item axis
+        # (padding would change degree vectors)
+        return diffusion_scores(A, lam, transpose_w=transpose_w)
+
+    k_user = jnp.sum(A, axis=1)
+    k_user = jnp.where(k_user == 0, 1.0, k_user)
+    An = A / k_user[:, None]
+
+    k_item = jnp.sum(A, axis=0)
+    alpha = jnp.power(k_item, 1.0 - lam)  # row scaling of W
+    beta = jnp.power(k_item, lam)  # column scaling of W
+
+    def one_block(j):
+        cols = jax.lax.dynamic_slice_in_dim(A, j * block, block, axis=1)
+        if transpose_w:
+            # W_gen^T[:, j] = (An^T A)^T[:, j] = A^T An[:, j]
+            An_cols = jax.lax.dynamic_slice_in_dim(An, j * block, block, axis=1)
+            T = jnp.dot(A.T, An_cols, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=A.dtype)
+        else:
+            T = jnp.dot(An.T, cols, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=A.dtype)
+        beta_j = jax.lax.dynamic_slice_in_dim(beta, j * block, block)
+        denom = alpha[:, None] * beta_j[None, :]
+        T = T / jnp.where(denom == 0, 1.0, denom)
+        return jnp.dot(A, T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=A.dtype)
+
+    blocks = jax.lax.map(one_block, jnp.arange(I // block))  # (I/B, U, B)
+    return jnp.transpose(blocks, (1, 0, 2)).reshape(U, I)
+
+
 @partial(jax.jit, static_argnames=("transpose_w",))
 def diffusion_scores(
     A: jnp.ndarray, lam: jnp.ndarray, transpose_w: bool = False

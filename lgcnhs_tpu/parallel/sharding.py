@@ -125,6 +125,39 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
     return step
 
 
+def sharded_diffusion_scores(
+    mesh: Mesh,
+    A: jnp.ndarray,  # (U, I) interaction matrix, item-sharded on MODEL_AXIS
+    lam,
+) -> jnp.ndarray:
+    """Item-block-sharded two-pass diffusion (SURVEY.md section 2.9).
+
+    With A sharded P(None, "model"), W_gen = An^T A contracts over the
+    REPLICATED user axis, so each shard owns W's column block with no
+    communication; the degree blend is shard-local elementwise; the second
+    pass F = A W contracts over the item axis, which GSPMD lowers to a
+    collective matmul over ICI. Explicit with_sharding_constraint keeps the
+    I x I intermediate distributed instead of replicated.
+    """
+    item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
+
+    @jax.jit
+    def run(A, lam):
+        k_user = jnp.sum(A, axis=1)
+        k_user = jnp.where(k_user == 0, 1.0, k_user)
+        An = A / k_user[:, None]
+        W_gen = jnp.dot(An.T, A, preferred_element_type=A.dtype)
+        W_gen = jax.lax.with_sharding_constraint(W_gen, item_cols)
+        k_item = jnp.sum(A, axis=0)
+        denom = jnp.power(k_item, 1.0 - lam)[:, None] * jnp.power(k_item, lam)[None, :]
+        W = W_gen / jnp.where(denom == 0, 1.0, denom)
+        W = jax.lax.with_sharding_constraint(W, item_cols)
+        F = jnp.dot(A, W, preferred_element_type=A.dtype)
+        return jax.lax.with_sharding_constraint(F, item_cols)
+
+    return run(jax.device_put(A, item_cols), jnp.asarray(lam, A.dtype))
+
+
 def distributed_masked_topk(
     mesh: Mesh,
     scores: jnp.ndarray,  # (U, I) item-sharded on MODEL_AXIS
