@@ -26,6 +26,29 @@ def mesh_axes() -> Tuple[str, str]:
     return (DATA_AXIS, MODEL_AXIS)
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host runtime bring-up (``jax.distributed.initialize``).
+
+    On a real multi-host TPU slice the env (TPU metadata) supplies the
+    arguments; explicit values support DCN clusters. Single-process callers
+    get a no-op. Returns the global device count. The reference has no
+    multi-host story at all (SURVEY.md section 2.9).
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
+
+
 def make_mesh(
     mesh_shape: Optional[Tuple[int, int]] = None,
     devices: Optional[Sequence[jax.Device]] = None,
