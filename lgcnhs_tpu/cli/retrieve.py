@@ -20,11 +20,10 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from lgcnhs_tpu.cli.common import base_parser, config_from_args, load_pipeline
-from lgcnhs_tpu.data.graph import pos_bool_matrix
-from lgcnhs_tpu.data.idmap import IdMapper
+from lgcnhs_tpu.cli.common import base_parser, config_from_args
 from lgcnhs_tpu.data.datasets import load_dataset
-from lgcnhs_tpu.data.graph import build_graph
+from lgcnhs_tpu.data.graph import build_graph, pos_bool_matrix
+from lgcnhs_tpu.data.idmap import IdMapper
 from lgcnhs_tpu.models.recommenders import get_or_train_params
 from lgcnhs_tpu.ops.topk import retrieve_topk
 from lgcnhs_tpu.runtime.logging import get_logger

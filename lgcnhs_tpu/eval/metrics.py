@@ -73,6 +73,8 @@ def accurate_metrics(
     precision = round(float(p), 5)
     recall = round(float(r), 5)
     if precision + recall == 0:
+        # the reference would ZeroDivisionError here (metrics/accurate.py:55);
+        # defining F1=0 for the degenerate case is a documented improvement
         f1 = 0.0
     else:
         f1 = round(2 * precision * recall / (precision + recall), 5)

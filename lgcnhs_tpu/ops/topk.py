@@ -101,12 +101,3 @@ def retrieve_topk(
     return masked_topk(scores, seen, k)
 
 
-@partial(jax.jit, static_argnames=("k", "axis_name"))
-def local_topk_for_merge(scores_block: jnp.ndarray, k: int, axis_name: str):
-    """Shard-local top-k for the distributed merge: returns (values, local
-    indices); caller offsets indices by the shard's item base and merges via
-    a second top-k over the gathered (n_shards * k) candidates
-    (see ``parallel/sharding.py``). No reference counterpart — the reference
-    ranks the full catalog on one device."""
-    vals, idx = jax.lax.top_k(scores_block, k)
-    return vals, idx

@@ -92,6 +92,51 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
     )
 
 
+def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str:
+    """"dense" vs "coo" forward path. Dense (MXU matmul on the full R_hat)
+    wins whenever the incidence fits — the MXU eats the zeros for free at
+    recsys densities. COO (segment-sum) is the memory-scalable path: chosen
+    when the dense incidence would exceed ~4 GB or the graph is extremely
+    sparse (density below ``compute.dense_threshold``)."""
+    dense_bytes = 4.0 * n_users * n_items
+    density = n_edges / max(1.0, float(n_users) * n_items)
+    if dense_bytes > 4e9 or density < compute.dense_threshold:
+        return "coo"
+    return "dense"
+
+
+def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
+    """Segment-sum flavor of the train step for graphs too large/sparse to
+    densify (same math; see ``ops/propagation.lightgcn_propagate_coo``)."""
+    from lgcnhs_tpu.ops.propagation import lightgcn_propagate_coo
+
+    def _loss(params, edge_users, edge_items, edge_norm, users, pos_items, neg_items):
+        u_final, i_final = lightgcn_propagate_coo(
+            params.user_emb, params.item_emb, edge_users, edge_items, edge_norm,
+            n_users, n_items, hp.layers,
+        )
+        return bpr_loss(
+            u_final[users], params.user_emb[users],
+            i_final[pos_items], params.item_emb[pos_items],
+            i_final[neg_items], params.item_emb[neg_items],
+            hp.epsilon,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, key, edge_users, edge_items, edge_norm, pos_mask):
+        users, pos_items, neg_items = sample_bpr_batch(
+            key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+        )
+        loss, grads = jax.value_and_grad(_loss)(
+            params, edge_users, edge_items, edge_norm, users, pos_items, neg_items
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False):
     """One jitted epoch: sample -> forward -> BPR -> Adam update."""
 
@@ -171,7 +216,13 @@ def train_lightgcn(
         model_name = "LightGCN"
 
     # static device-resident graph tensors
-    R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), dtype)
+    propagation = choose_propagation(U, I, graph.train.n_edges, cfg.compute)
+    if propagation == "dense":
+        R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), dtype)
+    else:
+        from lgcnhs_tpu.ops.propagation import edge_gcn_norm
+
+        log.info("graph too large/sparse to densify: segment-sum propagation")
     R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
     edge_users = jnp.asarray(graph.train.users)
     edge_items = jnp.asarray(graph.train.items)
@@ -188,9 +239,15 @@ def train_lightgcn(
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = optimizer.init(params)
-    train_step = make_train_step(
-        optimizer, hp, I, bf16_matmul=(cfg.compute.dtype == "bfloat16")
-    )
+    if propagation == "dense":
+        train_step = make_train_step(
+            optimizer, hp, I, bf16_matmul=(cfg.compute.dtype == "bfloat16")
+        )
+        step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
+    else:
+        edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+        train_step = make_coo_train_step(optimizer, hp, U, I)
+        step_args = lambda: (edge_users, edge_items, edge_norm, train_pos)
 
     start_epoch = 0
     if checkpoint_dir:
@@ -223,9 +280,7 @@ def train_lightgcn(
             # per-epoch keys derived by fold_in: stateless, so checkpoint
             # resume continues the exact sample stream
             step_key = jax.random.fold_in(key, epoch)
-            params, opt_state, loss = train_step(
-                params, opt_state, step_key, R_hat, edge_users, edge_items, train_pos
-            )
+            params, opt_state, loss = train_step(params, opt_state, step_key, *step_args())
 
             if checkpoint_dir and checkpoint_every and epoch % checkpoint_every == 0 and epoch:
                 from lgcnhs_tpu.train.checkpoint import save_train_state
