@@ -43,10 +43,15 @@ def main(argv=None):
     graph = build_graph(splits)
     params = get_or_train_params(graph, cfg, user_features, item_features)
 
-    seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
-    rec = np.asarray(
-        retrieve_topk(params.user_emb, params.item_emb, jnp.asarray(seen), cfg.k)
-    )
+    if cfg.model in ("SpreadLightGCN", "SpreadLightGCNOpti"):
+        from lgcnhs_tpu.models.fusion import serve_fused
+
+        rec = serve_fused(graph, cfg, params)
+    else:
+        seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+        rec = np.asarray(
+            retrieve_topk(params.user_emb, params.item_emb, jnp.asarray(seen), cfg.k)
+        )
     out = os.path.join(cfg.recommend_path, f"retrieval_{cfg.model}_{cfg.k}.npy")
     np.save(out, rec)
     log.info("retrieval matrix saved: %s %s", out, rec.shape)

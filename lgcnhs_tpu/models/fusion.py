@@ -74,6 +74,44 @@ def fusion_scores(
     return G * F
 
 
+def serve_fused(
+    graph: InteractionGraph,
+    cfg: Config,
+    params: LightGCNParams,
+) -> np.ndarray:
+    """High-QPS serving flavor of the fused recommendation: one Pallas pass
+    (G, F, Hadamard, top-k all in VMEM) on TPU, the equivalent unfused XLA
+    chain elsewhere. Differs from ``recommend_fused`` only in top-k
+    tie-breaking (lowest index, torch.topk-style) — use ``recommend_fused``
+    for reference-parity evaluation."""
+    A = interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    W_gen = general_spreading_matrix(jnp.asarray(A))
+    from lgcnhs_tpu.ops.diffusion import hybrid_transfer
+
+    W = hybrid_transfer(jnp.asarray(A), W_gen, jnp.asarray(cfg.hparams.lambda_, A.dtype))
+    if jax.default_backend() == "tpu":
+        from lgcnhs_tpu.ops.pallas.fusion_serve import fused_lgcnhs_serve
+
+        idx, _ = fused_lgcnhs_serve(
+            params.user_emb, params.item_emb, jnp.asarray(A), W,
+            jnp.asarray(seen), cfg.k,
+        )
+        return np.asarray(idx)
+
+    @partial(jax.jit, static_argnames=("k",))
+    def unfused(ue, ie, A, W, seen, k):
+        G = jnp.dot(ue, ie.T, preferred_element_type=jnp.float32)
+        F = jnp.dot(A, W, preferred_element_type=jnp.float32)
+        fused = jnp.where(seen, -3.0e38, G * F)
+        return jax.lax.top_k(fused, k)[1]
+
+    return np.asarray(
+        unfused(params.user_emb, params.item_emb, jnp.asarray(A), W,
+                jnp.asarray(seen), cfg.k)
+    )
+
+
 def recommend_fused(
     graph: InteractionGraph,
     cfg: Config,
