@@ -1,0 +1,45 @@
+"""Auxiliary CLI drivers: scaling ladder and ablation charts."""
+import os
+
+import numpy as np
+
+from lgcnhs_tpu.cli import ablation as ablation_cli
+from lgcnhs_tpu.cli import main as main_cli
+from lgcnhs_tpu.cli import evaluate as evaluate_cli
+from lgcnhs_tpu.cli import scaling as scaling_cli
+
+
+def test_scaling_ladder_runs():
+    rows = scaling_cli.main(
+        ["--users", "80", "--items", "120", "--interactions", "3000",
+         "--steps", "3", "--batch-size", "64", "--meshes", "1", "2"]
+    )
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert all(r["examples_per_sec"] > 0 for r in rows)
+    assert rows[0]["efficiency"] == 1.0
+
+
+def test_ablation_chart(tmp_path):
+    small = [
+        "--dataset", "synthetic", "--env", "dev", "--workdir", str(tmp_path),
+        "--users", "40", "--items", "60", "--interactions", "1500",
+        "--epochs", "6",
+    ]
+    for model in ("SpreadLightGCN", "SpreadLightGCNOpti"):
+        main_cli.main(small + ["--model", model])
+    evaluate_cli.main(
+        small + ["--model", "SpreadLightGCN", "--ks", "10",
+                 "--models", "SpreadLightGCN", "SpreadLightGCNOpti"]
+    )
+    outputs = ablation_cli.main(
+        small + ["--model", "SpreadLightGCN", "--ks", "10"]
+    )
+    assert len(outputs) == 1
+    assert os.path.exists(outputs[0])
+
+
+def test_ablation_without_csv_is_graceful(tmp_path):
+    outputs = ablation_cli.main(
+        ["--dataset", "synthetic", "--workdir", str(tmp_path), "--ks", "99"]
+    )
+    assert outputs == []
