@@ -99,17 +99,18 @@ def serve_fused(
         )
         return np.asarray(idx)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def unfused(ue, ie, A, W, seen, k):
-        G = jnp.dot(ue, ie.T, preferred_element_type=jnp.float32)
-        F = jnp.dot(A, W, preferred_element_type=jnp.float32)
-        fused = jnp.where(seen, -3.0e38, G * F)
-        return jax.lax.top_k(fused, k)[1]
-
     return np.asarray(
-        unfused(params.user_emb, params.item_emb, jnp.asarray(A), W,
-                jnp.asarray(seen), cfg.k)
+        _serve_unfused(params.user_emb, params.item_emb, jnp.asarray(A), W,
+                       jnp.asarray(seen), cfg.k)
     )
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _serve_unfused(ue, ie, A, W, seen, k):
+    G = jnp.dot(ue, ie.T, preferred_element_type=jnp.float32)
+    F = jnp.dot(A, W, preferred_element_type=jnp.float32)
+    fused = jnp.where(seen, -3.0e38, G * F)
+    return jax.lax.top_k(fused, k)[1]
 
 
 def recommend_fused(
