@@ -70,6 +70,14 @@ def warmup_device_transfer() -> float:
 
 def config_from_args(args: argparse.Namespace) -> Config:
     enable_compilation_cache()
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            secs = warmup_device_transfer()
+            get_logger().info("TPU device handshake: %.1f s", secs)
+    except Exception:
+        pass
     overrides = {}
     if args.k is not None:
         overrides["k"] = args.k
