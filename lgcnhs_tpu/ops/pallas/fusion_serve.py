@@ -92,9 +92,13 @@ def fused_lgcnhs_serve(
     W: jnp.ndarray,  # (I, I) HybridS transfer matrix
     seen: jnp.ndarray,  # (U, I) bool
     k: int,
-    item_tile: int = 512,
+    item_tile: int = 256,
     interpret: bool = False,
 ):
+    # VMEM budget per program: W stripe (I_pad x item_tile x 4B, double-
+    # buffered) + A block + scores scratch (each 128 x I_pad x 4B). At
+    # item_tile=256 and I~4k that is ~12 MB of the 16 MB VMEM; catalogs
+    # beyond ~16k items should use the sharded serving path instead.
     """(indices, values) of top-k over (masked G) * (A W) without
     materializing any (U, I) intermediate in HBM."""
     U, D = user_emb.shape
