@@ -125,6 +125,55 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
     return step
 
 
+def distributed_retrieve_topk(
+    mesh: Mesh,
+    user_emb: jnp.ndarray,  # (U, D) replicated
+    item_emb: jnp.ndarray,  # (I, D) item-ROW-sharded on MODEL_AXIS
+    seen: jnp.ndarray,  # (U, I) item-col-sharded
+    k: int,
+) -> jnp.ndarray:
+    """Sharded full-catalog retrieval: each item shard scores its catalog
+    block against all users (dense or via the fused Pallas kernel on TPU),
+    takes a local top-k, offsets to global ids, and one merge top-k combines
+    the all-gathered candidates. Composition of the serving kernel with the
+    distributed merge — the multi-chip serving path for catalogs beyond one
+    chip's HBM/VMEM."""
+    n_shards = mesh.shape[MODEL_AXIS]
+    n_items = item_emb.shape[0]
+    if n_items % n_shards != 0:
+        raise ValueError(f"item axis {n_items} not divisible by mesh {n_shards}")
+    block = n_items // n_shards
+    if k > block:
+        raise ValueError(f"k={k} exceeds shard width {block}")
+
+    def local(ue, ie_blk, seen_blk):
+        if jax.default_backend() == "tpu":
+            from lgcnhs_tpu.ops.pallas.retrieval import fused_topk_retrieval
+
+            idx, vals = fused_topk_retrieval(ue, ie_blk, seen_blk, k)
+        else:
+            scores = jnp.dot(ue, ie_blk.T, preferred_element_type=ue.dtype)
+            masked = jnp.where(seen_blk, MASK_VALUE, scores)
+            vals, idx = jax.lax.top_k(masked, k)
+        base = jax.lax.axis_index(MODEL_AXIS) * block
+        return vals, idx + base
+
+    vals, idx = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(MODEL_AXIS, None), P(None, MODEL_AXIS)),
+        out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+        check_vma=False,
+    )(user_emb, item_emb, seen)
+
+    @jax.jit
+    def merge(vals, idx):
+        _, sel = jax.lax.top_k(vals, k)
+        return jnp.take_along_axis(idx, sel, axis=1)
+
+    return merge(vals, idx)
+
+
 def sharded_diffusion_scores(
     mesh: Mesh,
     A: jnp.ndarray,  # (U, I) interaction matrix, item-sharded on MODEL_AXIS
