@@ -47,6 +47,12 @@ def main(argv=None) -> dict:
             if rec is None:
                 log.info("no cached recommendations for model=%s k=%d; skipping", model, k)
                 continue
+            if rec.shape[1] < k:
+                log.info(
+                    "cached recommendations for %s have only %d < %d columns; skipping",
+                    model, rec.shape[1], k,
+                )
+                continue
             metrics = evaluate_recommendations(ctx, rec[:, :k])
             rows.append({"Model": model, **metrics})
             log.info("k=%d model=%s: %s", k, model, metrics)
