@@ -3,11 +3,16 @@
 Re-design of ``processing/handleFeature.py``: bucketing maps, text
 preprocessing and Word2Vec-style text embeddings. The reference trains a fresh
 gensim Word2Vec per text column and mean-pools token vectors
-(``handleFeature.py:206-238``). gensim is unavailable in this image, so the
-default text embedder is a seeded feature-hashing embedding (deterministic
-random vector per token, mean-pooled — the same contract: one fixed-size
-vector per document, zeros when empty). If gensim IS importable we use it,
-matching the reference's (window 5, min_count 1) settings.
+(``handleFeature.py:206-238``). Embedder selection (``method=``):
+
+- ``"auto"`` (default): gensim if importable (reference-faithful RNG), else
+  the in-repo TPU-native JAX skip-gram trainer (`data/word2vec.py`) with the
+  same (window 5, min_count 1) settings — real trained co-occurrence vectors,
+  no external dependency.
+- ``"sgns"``: force the JAX trainer.
+- ``"hash"``: seeded feature-hashing vectors (deterministic random vector per
+  token, mean-pooled) — no training, useful for fast tests; same contract:
+  one fixed-size vector per document, zeros when empty.
 """
 from __future__ import annotations
 
@@ -102,41 +107,58 @@ def _hash_vector(token: str, dim: int) -> np.ndarray:
 
 
 def text_embeddings(
-    documents: Sequence[str], dim: int, seed: int = 42
+    documents: Sequence[str], dim: int, seed: int = 42, method: str = "auto"
 ) -> np.ndarray:
     """One mean-pooled vector per document, zero vector when empty
-    (contract of ``getWord2Vec``, ``handleFeature.py:206-238``)."""
+    (contract of ``getWord2Vec``, ``handleFeature.py:206-238``).
+    ``method``: "auto" | "gensim" | "sgns" | "hash" (see module docstring)."""
     token_docs = [preprocess_text(d) for d in documents]
-    try:  # gensim path (reference-faithful)
-        from gensim.models import Word2Vec  # type: ignore
 
-        model = Word2Vec(
-            sentences=[t or [""] for t in token_docs],
-            vector_size=dim,
-            window=5,
-            min_count=1,
-            workers=4,
-            seed=seed,
+    if method in ("auto", "gensim"):
+        try:  # gensim path (reference-faithful)
+            from gensim.models import Word2Vec  # type: ignore
+
+            model = Word2Vec(
+                sentences=[t or [""] for t in token_docs],
+                vector_size=dim,
+                window=5,
+                min_count=1,
+                workers=4,
+                seed=seed,
+            )
+            out = np.zeros((len(token_docs), dim), dtype=np.float32)
+            for i, toks in enumerate(token_docs):
+                vecs = [model.wv[t] for t in toks if t in model.wv]
+                if vecs:
+                    out[i] = np.mean(vecs, axis=0)
+            return out
+        except ImportError:
+            if method == "gensim":
+                raise
+            method = "sgns"
+
+    if method == "sgns":  # TPU-native JAX skip-gram trainer
+        from lgcnhs_tpu.data.word2vec import document_vectors, train_word2vec
+
+        model = train_word2vec(
+            token_docs, dim, window=5, min_count=1, seed=seed
         )
-        out = np.zeros((len(token_docs), dim), dtype=np.float32)
-        for i, toks in enumerate(token_docs):
-            vecs = [model.wv[t] for t in toks if t in model.wv]
-            if vecs:
-                out[i] = np.mean(vecs, axis=0)
-        return out
-    except ImportError:
-        cache: Dict[str, np.ndarray] = {}
-        out = np.zeros((len(token_docs), dim), dtype=np.float32)
-        for i, toks in enumerate(token_docs):
-            if not toks:
-                continue
-            vecs = []
-            for t in toks:
-                if t not in cache:
-                    cache[t] = _hash_vector(t, dim)
-                vecs.append(cache[t])
-            out[i] = np.mean(vecs, axis=0)
-        return out
+        return document_vectors(model, token_docs, dim)
+
+    if method != "hash":
+        raise ValueError(f"unknown text embedding method {method!r}")
+    cache: Dict[str, np.ndarray] = {}
+    out = np.zeros((len(token_docs), dim), dtype=np.float32)
+    for i, toks in enumerate(token_docs):
+        if not toks:
+            continue
+        vecs = []
+        for t in toks:
+            if t not in cache:
+                cache[t] = _hash_vector(t, dim)
+            vecs.append(cache[t])
+        out[i] = np.mean(vecs, axis=0)
+    return out
 
 
 def multi_hot(values: Sequence[Sequence[str]], vocabulary: Sequence[str]) -> np.ndarray:
