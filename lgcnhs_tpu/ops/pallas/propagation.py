@@ -1,0 +1,182 @@
+"""Dual-product propagation kernel: (R @ X, R^T @ Y) in ONE pass over R.
+
+Each LightGCN layer needs both half-steps of the bipartite propagation
+(``model/LightGCN/model.py:60-63`` does them as one joint-graph message
+passing; our dense path as two matmuls, ``ops/propagation.py``):
+
+    e_u' = R_hat   @ e_i      (U, I) x (I, D)
+    e_i' = R_hat^T @ e_u      (I, U) x (U, D)
+
+At recsys shapes (D = 64) the step is HBM-bandwidth-bound: the incidence
+R_hat is megabytes-to-gigabytes while the embeddings are ~1 MB, so the cost
+of a layer IS the number of times R_hat crosses HBM. XLA computes the two
+products as two separate matmuls = two full reads of R_hat. This kernel
+computes both against the SAME streamed tile, halving incidence traffic:
+
+- grid over user tiles; R tile (TILE_U, I) is read once per step
+- e_i (X) and the e_i' accumulator live resident in VMEM across the whole
+  grid (their block index maps are constant), e_u/e_u' stream per tile
+- both MXU products run per tile: out_u tile = R_tile @ X, and
+  out_i += R_tile^T @ Y_tile accumulated into the resident output block
+
+The VJP is the SAME kernel with swapped cotangents — for (gU, gI) upstream,
+(dX, dY) = (R^T @ gU, R @ gI) = dual(R, gI, gU) swapped — so a training step
+(forward + backward) reads R_hat 2x per layer instead of XLA's 4x.
+
+Applicability is VMEM-bounded: e_i + the (I, D) f32 accumulator + a double-
+buffered R stripe must fit on-chip (~16 MB/core); ``fits_vmem`` guards the
+dispatch and the XLA path remains the fallback (and the parity reference).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16 MB/core VMEM
+_TILES = (512, 256, 128, 64, 32, 16, 8)
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _vmem_bytes(tile_u: int, i_pad: int, d: int, r_itemsize: int, e_itemsize: int) -> int:
+    r_stripe = 2 * tile_u * i_pad * r_itemsize  # double-buffered input stream
+    resident = i_pad * d * e_itemsize + i_pad * d * 4  # X + f32 accumulator
+    streams = 2 * tile_u * d * (e_itemsize + 4)  # Y tile in, out_u tile out
+    return r_stripe + resident + streams
+
+
+def _pick_tile(n_users: int, n_items: int, d: int, r_itemsize: int, e_itemsize: int):
+    i_pad = _pad_to(n_items, 128)
+    for t in _TILES:
+        if _vmem_bytes(t, i_pad, d, r_itemsize, e_itemsize) <= _VMEM_BUDGET:
+            return t
+    return None
+
+
+def fits_vmem(n_users: int, n_items: int, d: int, bf16: bool = False) -> bool:
+    """True when the dual kernel's resident state fits on-chip."""
+    s = 2 if bf16 else 4
+    return _pick_tile(n_users, n_items, d, s, s) is not None
+
+
+def _dual_kernel(r_ref, x_ref, y_ref, out_u_ref, out_i_ref):
+    r = r_ref[:]
+    # out_u tile: R_tile @ X  — contracting R dim 1 with X dim 0
+    out_u_ref[:] = jax.lax.dot_general(
+        r, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # out_i accumulator: R_tile^T @ Y_tile — contracting R dim 0 with Y dim 0
+    contrib = jax.lax.dot_general(
+        r, y_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        out_i_ref[:] = contrib
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        out_i_ref[:] = out_i_ref[:] + contrib
+
+
+def _dual_impl(R, X, Y, interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    U, I = R.shape
+    D = X.shape[1]
+    tile_u = _pick_tile(U, I, D, R.dtype.itemsize, X.dtype.itemsize)
+    if tile_u is None:
+        raise ValueError(
+            f"dual_matmul does not fit VMEM at U={U}, I={I}, D={D}; "
+            "use the XLA propagation path"
+        )
+    U_pad, I_pad = _pad_to(U, tile_u), _pad_to(I, 128)
+    Rp = jnp.pad(R, ((0, U_pad - U), (0, I_pad - I)))
+    Xp = jnp.pad(X, ((0, I_pad - I), (0, 0)))
+    Yp = jnp.pad(Y, ((0, U_pad - U), (0, 0)))
+
+    out_u, out_i = pl.pallas_call(
+        _dual_kernel,
+        grid=(U_pad // tile_u,),
+        in_specs=[
+            pl.BlockSpec((tile_u, I_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I_pad, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_u, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_u, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((I_pad, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((U_pad, D), jnp.float32),
+            jax.ShapeDtypeStruct((I_pad, D), jnp.float32),
+        ),
+        interpret=interpret,
+    )(Rp, Xp, Yp)
+    return out_u[:U], out_i[:I]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def dual_matmul(R, X, Y, interpret: bool = False):
+    """(R @ X, R^T @ Y) with one streaming pass over R. f32 outputs;
+    cast R/X/Y to bfloat16 beforehand for the mixed-precision speed path."""
+    return _dual_impl(R, X, Y, interpret)
+
+
+def _dual_fwd(R, X, Y, interpret):
+    return _dual_impl(R, X, Y, interpret), R
+
+
+def _dual_bwd(interpret, R, cts):
+    gU, gI = cts
+    gU = gU.astype(R.dtype)
+    gI = gI.astype(R.dtype)
+    dY, dX = _dual_impl(R, gI, gU, interpret)
+    # cotangent dtypes must match the primal X/Y dtypes, which always equal
+    # R's here (all-f32 parity path or all-bf16 speed path)
+    return jnp.zeros_like(R), dX.astype(R.dtype), dY.astype(R.dtype)
+
+
+dual_matmul.defvjp(_dual_fwd, _dual_bwd)
+
+
+@partial(jax.jit, static_argnames=("n_layers", "bf16_matmul", "interpret"))
+def lightgcn_propagate_pallas(
+    user_emb: jnp.ndarray,  # (U, D)
+    item_emb: jnp.ndarray,  # (I, D)
+    R_hat: jnp.ndarray,  # (U, I)
+    n_layers: int = 3,
+    bf16_matmul: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dual-kernel flavor of ``ops.propagation.lightgcn_propagate``: same
+    math (layer-mean of K sym-normalized propagation steps,
+    ``model/LightGCN/model.py:60-72``), half the incidence traffic.
+
+    R_hat (and the embeddings) are cast + padded to kernel-aligned shapes
+    ONCE here, outside the layer loop, so each per-layer ``dual_matmul``
+    hits its aligned fast path with no pad copies of the big operand.
+    """
+    U, I = R_hat.shape
+    D = user_emb.shape[1]
+    Rl = R_hat.astype(jnp.bfloat16) if bf16_matmul else R_hat
+    cast = (lambda a: a.astype(jnp.bfloat16)) if bf16_matmul else (lambda a: a)
+    tile_u = _pick_tile(U, I, D, Rl.dtype.itemsize, Rl.dtype.itemsize)
+    if tile_u is None:
+        raise ValueError("shapes exceed VMEM; use the XLA propagation path")
+    U_pad, I_pad = _pad_to(U, tile_u), _pad_to(I, 128)
+    Rl = jnp.pad(Rl, ((0, U_pad - U), (0, I_pad - I)))
+    eu = jnp.pad(user_emb, ((0, U_pad - U), (0, 0)))
+    ei = jnp.pad(item_emb, ((0, I_pad - I), (0, 0)))
+    acc_u, acc_i = eu, ei
+    for _ in range(n_layers):
+        eu, ei = dual_matmul(Rl, cast(ei), cast(eu), interpret)
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (n_layers + 1)
+    return acc_u[:U] * scale, acc_i[:I] * scale

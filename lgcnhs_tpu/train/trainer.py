@@ -77,10 +77,23 @@ def lr_schedule(lr0: float, gamma: float, decay_every: int):
 
 
 def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
-             bf16_matmul=False):
-    u_final, i_final = lightgcn_propagate(
-        params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
-    )
+             bf16_matmul=False, use_pallas=True):
+    # On TPU, when the resident state fits VMEM, the dual-product Pallas
+    # kernel computes both propagation half-steps per read of R_hat, halving
+    # the HBM traffic of the bandwidth-bound forward AND backward
+    # (ops/pallas/propagation.py). XLA path elsewhere and for huge catalogs.
+    U, I = R_hat.shape
+    D = params.user_emb.shape[1]
+    from lgcnhs_tpu.ops.pallas.propagation import fits_vmem, lightgcn_propagate_pallas
+
+    if use_pallas and jax.default_backend() == "tpu" and fits_vmem(U, I, D, bf16_matmul):
+        u_final, i_final = lightgcn_propagate_pallas(
+            params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
+        )
+    else:
+        u_final, i_final = lightgcn_propagate(
+            params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
+        )
     return bpr_loss(
         u_final[users],
         params.user_emb[users],
@@ -137,7 +150,8 @@ def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
     return train_step
 
 
-def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False):
+def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
+                    use_pallas: bool = True):
     """One jitted epoch: sample -> forward -> BPR -> Adam update."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -147,7 +161,7 @@ def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False):
         )
         loss, grads = jax.value_and_grad(_loss_fn)(
             params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers,
-            bf16_matmul,
+            bf16_matmul, use_pallas,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -241,7 +255,8 @@ def train_lightgcn(
     opt_state = optimizer.init(params)
     if propagation == "dense":
         train_step = make_train_step(
-            optimizer, hp, I, bf16_matmul=(cfg.compute.dtype == "bfloat16")
+            optimizer, hp, I, bf16_matmul=(cfg.compute.dtype == "bfloat16"),
+            use_pallas=cfg.compute.use_pallas,
         )
         step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
     else:
