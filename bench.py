@@ -68,13 +68,15 @@ def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float
 
     from lgcnhs_tpu.data.graph import normalized_bipartite, pos_bool_matrix
     from lgcnhs_tpu.models.lightgcn import init_lightgcn
-    from lgcnhs_tpu.train.trainer import lr_schedule, make_train_step
+    from lgcnhs_tpu.train.trainer import lr_schedule, make_train_scan
 
     dev = devices[0]
     U, I = graph.n_users, graph.n_items
     put = lambda x: jax.device_put(jnp.asarray(x), dev)
 
     R_hat = put(normalized_bipartite(U, I, graph.train))
+    if bf16:  # cast the matmul input once, not per step (trainer does the same)
+        R_hat = R_hat.astype(jnp.bfloat16)
     pos = put(pos_bool_matrix(U, I, graph.train))
     eu = put(graph.train.users)
     ei = put(graph.train.items)
@@ -84,20 +86,24 @@ def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = jax.tree.map(put, optimizer.init(params))
-    step = make_train_step(optimizer, hp, I, bf16_matmul=bf16)
+    # What the trainer actually runs between eval boundaries: all epochs in
+    # ONE jitted lax.scan (make_train_scan). The dual-product Pallas
+    # propagation kernel runs only on the TPU rows; the CPU baseline keeps
+    # the pure-XLA program.
+    scan = make_train_scan(
+        optimizer, hp, I, bf16_matmul=bf16, use_pallas=(dev.platform != "cpu")
+    )
 
     key = jax.device_put(jax.random.PRNGKey(7), dev)
-    split = jax.random.split
 
-    # compile + one warm step
-    key, sub = split(key)
-    params, opt_state, loss = step(params, opt_state, sub, R_hat, eu, ei, pos)
+    # compile + warm chunk
+    params, opt_state, loss = scan(params, opt_state, key, 0, n_steps, R_hat, eu, ei, pos)
     loss.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, sub = split(key)
-        params, opt_state, loss = step(params, opt_state, sub, R_hat, eu, ei, pos)
+    params, opt_state, loss = scan(
+        params, opt_state, key, n_steps, n_steps, R_hat, eu, ei, pos
+    )
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     return hp.batch_size * n_steps / dt

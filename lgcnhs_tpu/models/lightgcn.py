@@ -140,9 +140,13 @@ def sample_bpr_batch(
     pos_items = edge_items[idx]
 
     cands = jax.random.randint(k_neg, (n_retries, batch_size), 0, n_items)
-    collide = pos_mask[users[None, :], cands]  # (R, B) one batched gather
+    # gather each batch user's positive ROW once, then index candidates
+    # within the rows — a contiguous (B, I) row gather + small
+    # take_along_axis, much cheaper on TPU than 2D scattered-element gather
+    pos_rows = pos_mask[users]  # (B, I)
+    collide = jnp.take_along_axis(pos_rows, cands.T, axis=1).T  # (R, B)
     first_ok = jnp.argmax(~collide, axis=0)  # first non-colliding round
-    negs = cands[first_ok, jnp.arange(batch_size)]
+    negs = jnp.take_along_axis(cands, first_ok[None, :], axis=0)[0]
     return users, pos_items, negs
 
 

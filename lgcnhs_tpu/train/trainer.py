@@ -77,16 +77,17 @@ def lr_schedule(lr0: float, gamma: float, decay_every: int):
 
 
 def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
-             bf16_matmul=False, use_pallas=True):
-    # On TPU, when the resident state fits VMEM, the dual-product Pallas
-    # kernel computes both propagation half-steps per read of R_hat, halving
-    # the HBM traffic of the bandwidth-bound forward AND backward
+             bf16_matmul=False, use_pallas=False):
+    # With use_pallas (callers set it only when the step runs on TPU), and
+    # when the resident state fits VMEM, the dual-product Pallas kernel
+    # computes both propagation half-steps per read of R_hat, halving the
+    # HBM traffic of the bandwidth-bound forward AND backward
     # (ops/pallas/propagation.py). XLA path elsewhere and for huge catalogs.
     U, I = R_hat.shape
     D = params.user_emb.shape[1]
     from lgcnhs_tpu.ops.pallas.propagation import fits_vmem, lightgcn_propagate_pallas
 
-    if use_pallas and jax.default_backend() == "tpu" and fits_vmem(U, I, D, bf16_matmul):
+    if use_pallas and fits_vmem(U, I, D, bf16_matmul):
         u_final, i_final = lightgcn_propagate_pallas(
             params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
         )
@@ -151,7 +152,7 @@ def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
 
 
 def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
-                    use_pallas: bool = True):
+                    use_pallas: bool = False):
     """One jitted epoch: sample -> forward -> BPR -> Adam update."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -168,6 +169,40 @@ def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
         return params, opt_state, loss
 
     return train_step
+
+
+def make_train_scan(optimizer, hp, n_items: int, bf16_matmul: bool = False,
+                    use_pallas: bool = False):
+    """Multi-epoch train step: ``n_steps`` reference epochs (each = ONE
+    minibatch step, ``model/LightGCN/train.py:125``) in a single jitted
+    ``lax.scan``, amortizing the per-dispatch host/runtime overhead that
+    dominates small steps. Per-epoch RNG keys are derived inside by the same
+    ``fold_in(base_key, epoch)`` rule the per-step path uses, so the sample
+    stream (and therefore training) is IDENTICAL to calling
+    ``make_train_step`` once per epoch."""
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
+    def train_scan(params, opt_state, base_key, epoch0, n_steps,
+                   R_hat, edge_users, edge_items, pos_mask):
+        def body(carry, epoch):
+            params, opt_state = carry
+            step_key = jax.random.fold_in(base_key, epoch)
+            users, pos_items, neg_items = sample_bpr_batch(
+                step_key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+            )
+            loss, grads = jax.value_and_grad(_loss_fn)(
+                params, R_hat, users, pos_items, neg_items, hp.epsilon,
+                hp.layers, bf16_matmul, use_pallas,
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), epoch0 + jnp.arange(n_steps)
+        )
+        return params, opt_state, losses[-1]
+
+    return train_scan
 
 
 @partial(jax.jit, static_argnames=("n_layers",))
@@ -232,7 +267,11 @@ def train_lightgcn(
     # static device-resident graph tensors
     propagation = choose_propagation(U, I, graph.train.n_edges, cfg.compute)
     if propagation == "dense":
-        R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), dtype)
+        # In the mixed-precision path the matmul input R_hat is cast ONCE
+        # here, not inside the jitted step (45 MB -> 22 MB copy per step at
+        # ML-1M scale); the propagate functions' .astype is then a no-op.
+        r_dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else dtype
+        R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), r_dtype)
     else:
         from lgcnhs_tpu.ops.propagation import edge_gcn_norm
 
@@ -254,14 +293,19 @@ def train_lightgcn(
     )
     opt_state = optimizer.init(params)
     if propagation == "dense":
+        _bf16 = cfg.compute.dtype == "bfloat16"
+        _pallas = cfg.compute.use_pallas and jax.default_backend() == "tpu"
         train_step = make_train_step(
-            optimizer, hp, I, bf16_matmul=(cfg.compute.dtype == "bfloat16"),
-            use_pallas=cfg.compute.use_pallas,
+            optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+        )
+        train_scan = make_train_scan(
+            optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
         )
         step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
     else:
         edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
         train_step = make_coo_train_step(optimizer, hp, U, I)
+        train_scan = None  # huge-graph path: step time dwarfs dispatch
         step_args = lambda: (edge_users, edge_items, edge_norm, train_pos)
 
     start_epoch = 0
@@ -290,12 +334,35 @@ def train_lightgcn(
         )
     }
 
+    def _is_boundary(e: int) -> bool:
+        """Epochs after which host-side work happens (eval / checkpoint)."""
+        if e % hp.epoch_per_eval == 0:
+            return True
+        return bool(checkpoint_dir and checkpoint_every and e and e % checkpoint_every == 0)
+
     with stage_timer(f"{model_name} training done ({hp.epochs} epochs)", log):
-        for epoch in range(start_epoch, hp.epochs):
-            # per-epoch keys derived by fold_in: stateless, so checkpoint
-            # resume continues the exact sample stream
-            step_key = jax.random.fold_in(key, epoch)
-            params, opt_state, loss = train_step(params, opt_state, step_key, *step_args())
+        epoch = start_epoch
+        while epoch < hp.epochs:
+            # run every epoch up to the next eval/checkpoint boundary as ONE
+            # jitted lax.scan chunk (identical per-epoch fold_in key stream;
+            # see make_train_scan) — per-step dispatch only when chunk == 1
+            b = epoch
+            while b < hp.epochs - 1 and not _is_boundary(b):
+                b += 1
+            n_chunk = b - epoch + 1
+            if train_scan is not None and n_chunk > 1:
+                params, opt_state, loss = train_scan(
+                    params, opt_state, key, epoch, n_chunk, *step_args()
+                )
+            else:
+                for e in range(epoch, b + 1):
+                    # per-epoch keys derived by fold_in: stateless, so
+                    # checkpoint resume continues the exact sample stream
+                    step_key = jax.random.fold_in(key, e)
+                    params, opt_state, loss = train_step(
+                        params, opt_state, step_key, *step_args()
+                    )
+            epoch = b
 
             if checkpoint_dir and checkpoint_every and epoch % checkpoint_every == 0 and epoch:
                 from lgcnhs_tpu.train.checkpoint import save_train_state
@@ -347,6 +414,7 @@ def train_lightgcn(
                     epoch, hp.epochs, tl, vl,
                     cfg.k, p, cfg.k, r, cfg.k, f1, cfg.k, n, cfg.k, h, cfg.k, i,
                 )
+            epoch += 1
 
     params = jax.tree.map(lambda x: jax.device_get(x), params)
     params = LightGCNParams(*params)

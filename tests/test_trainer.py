@@ -81,3 +81,47 @@ def test_checkpoint_roundtrip(tmp_path, small_graph):
         np.asarray(loaded.user_emb), np.asarray(result.params.user_emb)
     )
     assert load_checkpoint(str(tmp_path / "missing.npz")) is None
+
+
+def test_train_scan_matches_per_step_path(small_graph):
+    """make_train_scan's fold_in-per-epoch stream must reproduce the
+    per-dispatch make_train_step sequence bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lgcnhs_tpu.data.graph import normalized_bipartite, pos_bool_matrix
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.train.trainer import make_train_scan, make_train_step
+
+    graph, cfg = small_graph
+    hp = cfg.hparams.__class__(
+        **{**cfg.hparams.__dict__, "batch_size": 64, "embedding_dim": 8}
+    )
+    U, I = graph.n_users, graph.n_items
+    R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train))
+    pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
+    eu = jnp.asarray(graph.train.users)
+    ei = jnp.asarray(graph.train.items)
+    optimizer = optax.adam(1e-2)
+    key = jax.random.PRNGKey(11)
+
+    params_a = init_lightgcn(jax.random.PRNGKey(0), U, I, 8)
+    state_a = optimizer.init(params_a)
+    step = make_train_step(optimizer, hp, I)
+    for e in range(2, 7):  # arbitrary non-zero epoch window
+        k = jax.random.fold_in(key, e)
+        params_a, state_a, loss_a = step(params_a, state_a, k, R_hat, eu, ei, pos)
+
+    params_b = init_lightgcn(jax.random.PRNGKey(0), U, I, 8)
+    state_b = optimizer.init(params_b)
+    scan = make_train_scan(optimizer, hp, I)
+    params_b, state_b, loss_b = scan(params_b, state_b, key, 2, 5, R_hat, eu, ei, pos)
+
+    np.testing.assert_array_equal(
+        np.asarray(params_a.user_emb), np.asarray(params_b.user_emb)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params_a.item_emb), np.asarray(params_b.item_emb)
+    )
+    assert float(loss_a) == float(loss_b)
