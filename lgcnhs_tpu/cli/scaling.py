@@ -20,14 +20,16 @@ import time
 import numpy as np
 
 
-def measure_mesh(n_model: int, graph, hp, steps: int) -> float:
+def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
     import jax
+    import jax.numpy as jnp
     import optax
 
     from lgcnhs_tpu.data.graph import normalized_bipartite, pos_bool_matrix
     from lgcnhs_tpu.models.lightgcn import init_lightgcn
     from lgcnhs_tpu.parallel.sharding import (
         make_plan,
+        make_sharded_train_scan,
         make_sharded_train_step,
         shard_params,
         shard_train_inputs,
@@ -50,8 +52,27 @@ def measure_mesh(n_model: int, graph, hp, steps: int) -> float:
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = optimizer.init(params)
-    step = make_sharded_train_step(plan, optimizer, hp, I)
 
+    if chunk > 1:
+        # Dispatch-amortized path: `chunk` epochs per device program, same
+        # fold_in(base_key, epoch) stream as the per-step path.
+        scan = make_sharded_train_scan(plan, optimizer, hp, I)
+        base_key = jax.random.PRNGKey(3)
+        params, opt_state, loss = scan(
+            params, opt_state, base_key, jnp.int32(0), chunk, R_hat, eu, ei, pos_mask
+        )
+        loss.block_until_ready()
+        n_chunks = max(1, steps // chunk)
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            params, opt_state, loss = scan(
+                params, opt_state, base_key, jnp.int32((c + 1) * chunk), chunk,
+                R_hat, eu, ei, pos_mask,
+            )
+        loss.block_until_ready()
+        return hp.batch_size * n_chunks * chunk / (time.perf_counter() - t0)
+
+    step = make_sharded_train_step(plan, optimizer, hp, I)
     key = jax.random.PRNGKey(3)
     key, sub = jax.random.split(key)
     params, opt_state, loss = step(params, opt_state, sub, R_hat, eu, ei, pos_mask)
@@ -72,6 +93,8 @@ def main(argv=None):
     parser.add_argument("--interactions", type=int, default=100_000)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--batch-size", type=int, default=1024)
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="epochs per device program (lax.scan); 1 = per-step dispatch")
     parser.add_argument("--meshes", type=int, nargs="+", default=None)
     args = parser.parse_args(argv)
 
@@ -99,7 +122,7 @@ def main(argv=None):
     rows = []
     base_rate = None
     for m in meshes:
-        rate = measure_mesh(m, graph, hp, args.steps)
+        rate = measure_mesh(m, graph, hp, args.steps, chunk=args.chunk)
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * m)

@@ -4,4 +4,6 @@ from lgcnhs_tpu.parallel.sharding import (  # noqa: F401
     shard_train_inputs,
     distributed_masked_topk,
     make_sharded_train_step,
+    make_sharded_train_scan,
+    shard_params,
 )

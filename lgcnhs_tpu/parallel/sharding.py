@@ -65,10 +65,30 @@ def _pad_len(n: int, parts: int) -> int:
     return -(-n // parts) * parts
 
 
+def padded_catalog(plan: ShardingPlan, n_users: int, n_items: int) -> tuple[int, int]:
+    """Smallest (U, I) >= the true catalog that divides the model axis.
+    Real catalogs (ML-100K is 943 x 1682) rarely divide a mesh; the sharded
+    path pads both axes and the padding is inert: zero incidence rows/cols
+    contribute exact zeros to propagation, padded pos_mask entries are True
+    so sampling and top-k never surface them, and zero-initialized padded
+    table rows receive zero gradient."""
+    n_model = plan.mesh.shape[MODEL_AXIS]
+    return _pad_len(n_users, n_model), _pad_len(n_items, n_model)
+
+
 def shard_train_inputs(plan: ShardingPlan, R_hat, pos_mask, edge_users, edge_items):
-    """Pad the edge list to the data-axis size and device_put everything with
-    its sharding. Padding repeats edge 0 — harmless for sampling (uniform
-    with replacement already)."""
+    """Pad the catalog axes to the model-axis size (see ``padded_catalog``)
+    and the edge list to the data-axis size, then device_put everything with
+    its sharding. Edge padding repeats edge 0 — harmless for sampling
+    (uniform with replacement already)."""
+    U, I = R_hat.shape
+    U_pad, I_pad = padded_catalog(plan, U, I)
+    if (U_pad, I_pad) != (U, I):
+        R_hat = np.pad(np.asarray(R_hat), ((0, U_pad - U), (0, I_pad - I)))
+        pos_mask = np.pad(
+            np.asarray(pos_mask), ((0, U_pad - U), (0, I_pad - I)),
+            constant_values=True,
+        )
     n_data = plan.mesh.shape[DATA_AXIS]
     E = edge_users.shape[0]
     target = _pad_len(E, n_data)
@@ -84,10 +104,33 @@ def shard_train_inputs(plan: ShardingPlan, R_hat, pos_mask, edge_users, edge_ite
     )
 
 
+def _pad_rows(table, target: int):
+    n = table.shape[0]
+    if target == n:
+        return table
+    return jnp.concatenate(
+        [table, jnp.zeros((target - n,) + table.shape[1:], table.dtype)]
+    )
+
+
 def shard_params(plan: ShardingPlan, params: LightGCNParams) -> LightGCNParams:
+    """Row-shard the tables, zero-padding each catalog axis to the model-axis
+    size (``padded_catalog``). Use ``unpad_params`` to recover the true-shape
+    tables after training."""
+    U_pad, I_pad = padded_catalog(
+        plan, params.user_emb.shape[0], params.item_emb.shape[0]
+    )
     return LightGCNParams(
-        user_emb=jax.device_put(params.user_emb, plan.params.user_emb),
-        item_emb=jax.device_put(params.item_emb, plan.params.item_emb),
+        user_emb=jax.device_put(_pad_rows(params.user_emb, U_pad), plan.params.user_emb),
+        item_emb=jax.device_put(_pad_rows(params.item_emb, I_pad), plan.params.item_emb),
+    )
+
+
+def unpad_params(params: LightGCNParams, n_users: int, n_items: int) -> LightGCNParams:
+    """Strip the catalog padding ``shard_params`` added (host-side arrays)."""
+    return LightGCNParams(
+        user_emb=np.asarray(params.user_emb)[:n_users],
+        item_emb=np.asarray(params.item_emb)[:n_items],
     )
 
 
@@ -125,6 +168,33 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
     return step
 
 
+def make_sharded_train_scan(plan: ShardingPlan, optimizer, hp, n_items: int):
+    """Sharded flavor of ``train.trainer.make_train_scan``: every epoch
+    between eval boundaries as one jitted ``lax.scan`` over the sharded step,
+    with the identical ``fold_in(base_key, epoch)`` stream — so multi-chip
+    chunked training reproduces the per-dispatch sequence exactly while
+    paying the host dispatch (and any DCN launch latency) once per chunk."""
+    step_once = make_sharded_train_step(plan, optimizer, hp, n_items)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
+    def train_scan(params, opt_state, base_key, epoch0, n_steps,
+                   R_hat, edge_users, edge_items, pos_mask):
+        def body(carry, epoch):
+            params, opt_state = carry
+            key = jax.random.fold_in(base_key, epoch)
+            params, opt_state, loss = step_once.__wrapped__(
+                params, opt_state, key, R_hat, edge_users, edge_items, pos_mask
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), epoch0 + jnp.arange(n_steps)
+        )
+        return params, opt_state, losses[-1]
+
+    return train_scan
+
+
 def distributed_retrieve_topk(
     mesh: Mesh,
     user_emb: jnp.ndarray,  # (U, D) replicated
@@ -140,9 +210,15 @@ def distributed_retrieve_topk(
     chip's HBM/VMEM."""
     n_shards = mesh.shape[MODEL_AXIS]
     n_items = item_emb.shape[0]
-    if n_items % n_shards != 0:
-        raise ValueError(f"item axis {n_items} not divisible by mesh {n_shards}")
-    block = n_items // n_shards
+    n_pad = _pad_len(n_items, n_shards)
+    if n_pad != n_items:
+        # zero-embedding padded items are masked seen=True, so they score
+        # MASK_VALUE and the lowest-index tie rule keeps them off every list
+        item_emb = _pad_rows(item_emb, n_pad)
+        seen = jnp.pad(seen, ((0, 0), (0, n_pad - n_items)), constant_values=True)
+        item_emb = jax.device_put(item_emb, NamedSharding(mesh, P(MODEL_AXIS, None)))
+        seen = jax.device_put(seen, NamedSharding(mesh, P(None, MODEL_AXIS)))
+    block = n_pad // n_shards
     if k > block:
         raise ValueError(f"k={k} exceeds shard width {block}")
 
@@ -223,9 +299,17 @@ def distributed_masked_topk(
     as the single-device semantics."""
     n_shards = mesh.shape[MODEL_AXIS]
     n_items = scores.shape[1]
-    if n_items % n_shards != 0:
-        raise ValueError(f"item axis {n_items} not divisible by mesh {n_shards}")
-    block = n_items // n_shards
+    n_pad = _pad_len(n_items, n_shards)
+    if n_pad != n_items:
+        # padded columns are seen=True -> MASK_VALUE; they sit at the highest
+        # global indices so the lowest-index tie rule keeps them off the lists
+        pad_cols = ((0, 0), (0, n_pad - n_items))
+        item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
+        scores = jax.device_put(jnp.pad(scores, pad_cols), item_cols)
+        seen = jax.device_put(
+            jnp.pad(seen, pad_cols, constant_values=True), item_cols
+        )
+    block = n_pad // n_shards
     if k > block:
         raise ValueError(f"k={k} exceeds shard width {block}")
 

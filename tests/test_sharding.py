@@ -106,6 +106,52 @@ def test_sharded_step_matches_single_device():
     )
 
 
+def test_sharded_train_scan_matches_per_step_path():
+    """The jitted multi-epoch scan must reproduce the per-step sharded path
+    exactly (same fold_in(base_key, epoch) stream)."""
+    from lgcnhs_tpu.parallel.sharding import make_sharded_train_scan
+
+    eu, ei = _toy()
+    es = EdgeSet(eu, ei)
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    hp = cfg.hparams.__class__(
+        **{**cfg.hparams.__dict__, "batch_size": 32, "embedding_dim": D}
+    )
+    mesh = make_mesh((2, 4))
+    plan = make_plan(mesh)
+    R_hat, pos_mask, edge_users, edge_items = shard_train_inputs(
+        plan, normalized_bipartite(U, I, es), pos_bool_matrix(U, I, es), eu, ei
+    )
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+    base = jax.random.PRNGKey(5)
+    n_steps = 4
+
+    p0 = shard_params(plan, init_lightgcn(jax.random.PRNGKey(0), U, I, D))
+    s0 = optimizer.init(p0)
+    step = make_sharded_train_step(plan, optimizer, hp, I)
+    for e in range(n_steps):
+        p0, s0, loss0 = step(
+            p0, s0, jax.random.fold_in(base, e),
+            R_hat, edge_users, edge_items, pos_mask,
+        )
+
+    p1 = shard_params(plan, init_lightgcn(jax.random.PRNGKey(0), U, I, D))
+    s1 = optimizer.init(p1)
+    scan = make_sharded_train_scan(plan, optimizer, hp, I)
+    p1, s1, loss1 = scan(
+        p1, s1, base, jnp.int32(0), n_steps,
+        R_hat, edge_users, edge_items, pos_mask,
+    )
+
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p0.user_emb), np.asarray(p1.user_emb), rtol=2e-5, atol=1e-6
+    )
+    assert p1.user_emb.sharding.spec == plan.params.user_emb.spec
+
+
 def test_distributed_topk_matches_single_device():
     rng = np.random.default_rng(3)
     scores_np = rng.standard_normal((U, I)).astype(np.float32)
@@ -118,6 +164,77 @@ def test_distributed_topk_matches_single_device():
     got = np.asarray(distributed_masked_topk(mesh, scores, seen, k))
     want = np.asarray(masked_topk(jnp.asarray(scores_np), jnp.asarray(seen_np), k))
     np.testing.assert_array_equal(got, want)
+
+
+def test_distributed_topk_pads_non_divisible_items():
+    """Real catalogs (ML-100K: I=1682) don't divide an 8-way mesh; the
+    distributed top-k must pad transparently and never emit a padded id."""
+    rng = np.random.default_rng(4)
+    I_odd = 123
+    scores_np = rng.standard_normal((U, I_odd)).astype(np.float32)
+    seen_np = rng.random((U, I_odd)) < 0.2
+    k = 7
+    mesh = make_mesh((1, 8))
+    got = np.asarray(
+        distributed_masked_topk(mesh, jnp.asarray(scores_np), jnp.asarray(seen_np), k)
+    )
+    want = np.asarray(masked_topk(jnp.asarray(scores_np), jnp.asarray(seen_np), k))
+    np.testing.assert_array_equal(got, want)
+    assert (got < I_odd).all()
+
+
+def test_sharded_step_pads_non_divisible_catalog():
+    """U=45, I=123 on an 8-way model axis: the padded sharded step must still
+    reproduce the single-device update on the true catalog."""
+    from lgcnhs_tpu.parallel.sharding import unpad_params
+    from lgcnhs_tpu.train.trainer import make_train_step
+
+    U_odd, I_odd = 45, 123
+    rng = np.random.default_rng(7)
+    eu = rng.integers(0, U_odd, 500).astype(np.int32)
+    ei = rng.integers(0, I_odd, 500).astype(np.int32)
+    pairs = np.unique(np.stack([eu, ei]), axis=1)
+    eu, ei = pairs[0], pairs[1]
+    es = EdgeSet(eu, ei)
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    hp = cfg.hparams.__class__(
+        **{**cfg.hparams.__dict__, "batch_size": 32, "embedding_dim": D}
+    )
+    R_hat_np = normalized_bipartite(U_odd, I_odd, es)
+    pos_np = pos_bool_matrix(U_odd, I_odd, es)
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+
+    p0 = init_lightgcn(jax.random.PRNGKey(0), U_odd, I_odd, D)
+    s0 = optimizer.init(p0)
+    step0 = make_train_step(optimizer, hp, I_odd)
+    p0, s0, loss0 = step0(
+        p0, s0, jax.random.PRNGKey(9), jnp.asarray(R_hat_np),
+        jnp.asarray(eu), jnp.asarray(ei), jnp.asarray(pos_np),
+    )
+
+    mesh = make_mesh((1, 8))
+    plan = make_plan(mesh)
+    R_hat, pos_mask, edge_users, edge_items = shard_train_inputs(
+        plan, R_hat_np, pos_np, eu, ei
+    )
+    assert R_hat.shape == (48, 128)  # padded to the 8-way axis
+    p1 = shard_params(plan, init_lightgcn(jax.random.PRNGKey(0), U_odd, I_odd, D))
+    s1 = optimizer.init(p1)
+    step1 = make_sharded_train_step(plan, optimizer, hp, I_odd)
+    p1, s1, loss1 = step1(
+        p1, s1, jax.random.PRNGKey(9), R_hat, edge_users, edge_items, pos_mask
+    )
+    p1 = unpad_params(p1, U_odd, I_odd)
+
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p0.user_emb), p1.user_emb, rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p0.item_emb), p1.item_emb, rtol=2e-5, atol=1e-6
+    )
 
 
 def test_distributed_topk_validates_k():
