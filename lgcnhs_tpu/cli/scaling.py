@@ -62,7 +62,7 @@ def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
             params, opt_state, base_key, jnp.int32(0), chunk, R_hat, eu, ei, pos_mask
         )
         loss.block_until_ready()
-        n_chunks = max(1, steps // chunk)
+        n_chunks = -(-steps // chunk)  # ceil: run at least the requested steps
         t0 = time.perf_counter()
         for c in range(n_chunks):
             params, opt_state, loss = scan(

@@ -212,8 +212,9 @@ def distributed_retrieve_topk(
     n_items = item_emb.shape[0]
     n_pad = _pad_len(n_items, n_shards)
     if n_pad != n_items:
-        # zero-embedding padded items are masked seen=True, so they score
-        # MASK_VALUE and the lowest-index tie rule keeps them off every list
+        # zero-embedding padded items: the local ranker demotes their scores
+        # to -inf (below the finite MASK_VALUE sentinel AND below any real
+        # unseen score), so they can never displace a real candidate
         item_emb = _pad_rows(item_emb, n_pad)
         seen = jnp.pad(seen, ((0, 0), (0, n_pad - n_items)), constant_values=True)
         item_emb = jax.device_put(item_emb, NamedSharding(mesh, P(MODEL_AXIS, None)))
@@ -223,15 +224,26 @@ def distributed_retrieve_topk(
         raise ValueError(f"k={k} exceeds shard width {block}")
 
     def local(ue, ie_blk, seen_blk):
+        base = jax.lax.axis_index(MODEL_AXIS) * block
         if jax.default_backend() == "tpu":
             from lgcnhs_tpu.ops.pallas.retrieval import fused_topk_retrieval
 
             idx, vals = fused_topk_retrieval(ue, ie_blk, seen_blk, k)
+            if n_pad != n_items:
+                # the fused kernel masks seen items to the finite sentinel;
+                # demote padded candidates after the fact. (A real item
+                # scoring below MASK_VALUE in the one partial shard can be
+                # displaced locally by padding — that regime is already below
+                # the reference's seen-item sentinel; documented deviation.)
+                vals = jnp.where(idx + base >= n_items, -jnp.inf, vals)
         else:
             scores = jnp.dot(ue, ie_blk.T, preferred_element_type=ue.dtype)
             masked = jnp.where(seen_blk, MASK_VALUE, scores)
+            if n_pad != n_items:
+                masked = jnp.where(
+                    base + jnp.arange(block)[None, :] >= n_items, -jnp.inf, masked
+                )
             vals, idx = jax.lax.top_k(masked, k)
-        base = jax.lax.axis_index(MODEL_AXIS) * block
         return vals, idx + base
 
     vals, idx = shard_map(
@@ -301,14 +313,17 @@ def distributed_masked_topk(
     n_items = scores.shape[1]
     n_pad = _pad_len(n_items, n_shards)
     if n_pad != n_items:
-        # padded columns are seen=True -> MASK_VALUE; they sit at the highest
-        # global indices so the lowest-index tie rule keeps them off the lists
+        # padded columns score -inf UNMASKED (seen=False), which ranks
+        # strictly below every real column — including seen items at the
+        # finite MASK_VALUE sentinel and unseen items scoring below it — so
+        # a padded id can never be selected and the result is exactly the
+        # single-device masked_topk on the true catalog
         pad_cols = ((0, 0), (0, n_pad - n_items))
         item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
-        scores = jax.device_put(jnp.pad(scores, pad_cols), item_cols)
-        seen = jax.device_put(
-            jnp.pad(seen, pad_cols, constant_values=True), item_cols
+        scores = jax.device_put(
+            jnp.pad(scores, pad_cols, constant_values=-jnp.inf), item_cols
         )
+        seen = jax.device_put(jnp.pad(seen, pad_cols), item_cols)
     block = n_pad // n_shards
     if k > block:
         raise ValueError(f"k={k} exceeds shard width {block}")

@@ -173,12 +173,34 @@ def test_distributed_topk_pads_non_divisible_items():
     I_odd = 123
     scores_np = rng.standard_normal((U, I_odd)).astype(np.float32)
     seen_np = rng.random((U, I_odd)) < 0.2
+    # scores BELOW the -1024 seen-sentinel: padding must still rank under them
+    scores_np[0, :] = -2000.0
+    seen_np[0, :] = False
     k = 7
     mesh = make_mesh((1, 8))
     got = np.asarray(
         distributed_masked_topk(mesh, jnp.asarray(scores_np), jnp.asarray(seen_np), k)
     )
     want = np.asarray(masked_topk(jnp.asarray(scores_np), jnp.asarray(seen_np), k))
+    np.testing.assert_array_equal(got, want)
+    assert (got < I_odd).all()
+
+
+def test_distributed_retrieve_pads_non_divisible_items():
+    """distributed_retrieve_topk on an odd catalog must match the dense
+    single-device masked ranking and never emit a padded id."""
+    from lgcnhs_tpu.parallel.sharding import distributed_retrieve_topk
+
+    rng = np.random.default_rng(11)
+    I_odd = 123
+    ue = jnp.asarray(rng.standard_normal((U, D)), jnp.float32)
+    ie = jnp.asarray(rng.standard_normal((I_odd, D)), jnp.float32)
+    seen = jnp.asarray(rng.random((U, I_odd)) < 0.2)
+    k = 7
+    mesh = make_mesh((1, 8))
+    got = np.asarray(distributed_retrieve_topk(mesh, ue, ie, seen, k))
+    scores = jnp.dot(ue, ie.T)
+    want = np.asarray(masked_topk(scores, seen, k))
     np.testing.assert_array_equal(got, want)
     assert (got < I_odd).all()
 
