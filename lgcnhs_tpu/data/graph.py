@@ -128,6 +128,24 @@ def normalized_bipartite(
     return (R * inv_su[:, None] * inv_si[None, :]).astype(dtype)
 
 
+def binary_incidence_factors(
+    n_users: int, n_items: int, es: EdgeSet
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Factored form of ``normalized_bipartite``: (R int8, du^-1/2, di^-1/2)
+    with R the BINARY interaction matrix and
+    R_hat == diag(du^-1/2) R diag(di^-1/2) exactly. The int8 incidence is
+    what the bandwidth-bound TPU propagation streams (half the bytes of bf16,
+    values exact); the degree scales apply to the small embedding operands
+    (``ops/pallas/propagation.lightgcn_propagate_pallas_binary``)."""
+    R = interaction_matrix(n_users, n_items, es, dtype=np.float64)
+    du = R.sum(axis=1)
+    di = R.sum(axis=0)
+    with np.errstate(divide="ignore"):
+        inv_su = np.where(du > 0, 1.0 / np.sqrt(du), 0.0).astype(np.float32)
+        inv_si = np.where(di > 0, 1.0 / np.sqrt(di), 0.0).astype(np.float32)
+    return R.astype(np.int8), inv_su, inv_si
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int) -> Tuple[np.ndarray, int]:
     """Pad an axis up to a multiple (TPU tiling wants 128-aligned lanes)."""
     size = x.shape[axis]

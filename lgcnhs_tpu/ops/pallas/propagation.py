@@ -47,6 +47,9 @@ def _pad_to(n: int, m: int) -> int:
 
 def _vmem_bytes(tile_u: int, i_pad: int, d: int, r_itemsize: int, e_itemsize: int) -> int:
     r_stripe = 2 * tile_u * i_pad * r_itemsize  # double-buffered input stream
+    if r_itemsize < e_itemsize:
+        # int8 R is converted to the compute dtype in VMEM before the MXU dots
+        r_stripe += tile_u * i_pad * e_itemsize
     resident = i_pad * d * e_itemsize + i_pad * d * 4  # X + f32 accumulator
     streams = 2 * tile_u * d * (e_itemsize + 4)  # Y tile in, out_u tile out
     return r_stripe + resident + streams
@@ -66,8 +69,18 @@ def fits_vmem(n_users: int, n_items: int, d: int, bf16: bool = False) -> bool:
     return _pick_tile(n_users, n_items, d, s, s) is not None
 
 
+def fits_vmem_binary(n_users: int, n_items: int, d: int, bf16: bool = False) -> bool:
+    """VMEM guard for the int8 binary-incidence flavor."""
+    s = 2 if bf16 else 4
+    return _pick_tile(n_users, n_items, d, 1, s) is not None
+
+
 def _dual_kernel(r_ref, x_ref, y_ref, out_u_ref, out_i_ref):
     r = r_ref[:]
+    if r.dtype != x_ref.dtype:
+        # int8 binary incidence: promote the tile once in VMEM, reuse it for
+        # both MXU products — HBM still only moved 1 byte/entry
+        r = r.astype(x_ref.dtype)
     # out_u tile: R_tile @ X  — contracting R dim 1 with X dim 0
     out_u_ref[:] = jax.lax.dot_general(
         r, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -129,17 +142,27 @@ def dual_matmul(R, X, Y, interpret: bool = False):
 
 
 def _dual_fwd(R, X, Y, interpret):
-    return _dual_impl(R, X, Y, interpret), R
+    # the zero-size marker carries the compute dtype to the backward pass
+    # (for int8 binary R it differs from R.dtype)
+    return _dual_impl(R, X, Y, interpret), (R, jnp.zeros((0,), X.dtype))
 
 
-def _dual_bwd(interpret, R, cts):
+def _dual_bwd(interpret, res, cts):
+    R, marker = res
+    cdt = marker.dtype
     gU, gI = cts
-    gU = gU.astype(R.dtype)
-    gI = gI.astype(R.dtype)
+    gU = gU.astype(cdt)
+    gI = gI.astype(cdt)
     dY, dX = _dual_impl(R, gI, gU, interpret)
-    # cotangent dtypes must match the primal X/Y dtypes, which always equal
-    # R's here (all-f32 parity path or all-bf16 speed path)
-    return jnp.zeros_like(R), dX.astype(R.dtype), dY.astype(R.dtype)
+    # cotangent dtypes must match the primal X/Y dtypes (f32 parity path,
+    # bf16 speed path); integer R gets the symbolic-zero float0 cotangent
+    if jnp.issubdtype(R.dtype, jnp.floating):
+        dR = jnp.zeros_like(R)
+    else:
+        import numpy as _np
+
+        dR = _np.zeros(R.shape, jax.dtypes.float0)
+    return dR, dX.astype(cdt), dY.astype(cdt)
 
 
 dual_matmul.defvjp(_dual_fwd, _dual_bwd)
@@ -176,6 +199,52 @@ def lightgcn_propagate_pallas(
     acc_u, acc_i = eu, ei
     for _ in range(n_layers):
         eu, ei = dual_matmul(Rl, cast(ei), cast(eu), interpret)
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (n_layers + 1)
+    return acc_u[:U] * scale, acc_i[:I] * scale
+
+
+@partial(jax.jit, static_argnames=("n_layers", "bf16_matmul", "interpret"))
+def lightgcn_propagate_pallas_binary(
+    user_emb: jnp.ndarray,  # (U, D)
+    item_emb: jnp.ndarray,  # (I, D)
+    R8: jnp.ndarray,  # (U, I) int8 BINARY interaction matrix
+    du_inv: jnp.ndarray,  # (U,) 1/sqrt(user degree), 0 for isolated users
+    di_inv: jnp.ndarray,  # (I,) 1/sqrt(item degree)
+    n_layers: int = 3,
+    bf16_matmul: bool = False,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binary-incidence flavor of ``lightgcn_propagate_pallas``.
+
+    R_hat factorizes as diag(du_inv) R diag(di_inv) with R strictly 0/1
+    (``data/graph.normalized_bipartite`` builds it exactly this way), so the
+    streamed operand can be int8: HALF the HBM bytes of the bf16 R_hat path
+    and a quarter of f32, with the 0/1 values EXACT — the degree scales are
+    applied to the (U, D)/(I, D) embeddings (megabytes, not the gigabyte-
+    scale incidence). Each layer:
+
+        e_u' = du_inv * (R  @ (di_inv * e_i))
+        e_i' = di_inv * (R^T @ (du_inv * e_u))
+    """
+    U, I = R8.shape
+    D = user_emb.shape[1]
+    cdt = jnp.bfloat16 if bf16_matmul else jnp.float32
+    tile_u = _pick_tile(U, I, D, 1, jnp.dtype(cdt).itemsize)
+    if tile_u is None:
+        raise ValueError("shapes exceed VMEM; use the XLA propagation path")
+    U_pad, I_pad = _pad_to(U, tile_u), _pad_to(I, 128)
+    Rp = jnp.pad(R8.astype(jnp.int8), ((0, U_pad - U), (0, I_pad - I)))
+    du = jnp.pad(du_inv, (0, U_pad - U))[:, None].astype(jnp.float32)
+    di = jnp.pad(di_inv, (0, I_pad - I))[:, None].astype(jnp.float32)
+    eu = jnp.pad(user_emb, ((0, U_pad - U), (0, 0)))
+    ei = jnp.pad(item_emb, ((0, I_pad - I), (0, 0)))
+    acc_u, acc_i = eu, ei
+    for _ in range(n_layers):
+        ou, oi = dual_matmul(Rp, (di * ei).astype(cdt), (du * eu).astype(cdt), interpret)
+        eu = du * ou
+        ei = di * oi
         acc_u = acc_u + eu
         acc_i = acc_i + ei
     scale = 1.0 / (n_layers + 1)

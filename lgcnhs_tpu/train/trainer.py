@@ -83,11 +83,31 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
     # computes both propagation half-steps per read of R_hat, halving the
     # HBM traffic of the bandwidth-bound forward AND backward
     # (ops/pallas/propagation.py). XLA path elsewhere and for huge catalogs.
-    U, I = R_hat.shape
+    # R_hat may instead be the factored triple (R int8, du^-1/2, di^-1/2)
+    # from data/graph.binary_incidence_factors: the streamed incidence is
+    # then 1 byte/entry (half of bf16) with exact 0/1 values.
     D = params.user_emb.shape[1]
-    from lgcnhs_tpu.ops.pallas.propagation import fits_vmem, lightgcn_propagate_pallas
+    from lgcnhs_tpu.ops.pallas.propagation import (
+        fits_vmem,
+        fits_vmem_binary,
+        lightgcn_propagate_pallas,
+        lightgcn_propagate_pallas_binary,
+    )
 
-    if use_pallas and fits_vmem(U, I, D, bf16_matmul):
+    if isinstance(R_hat, tuple):
+        R8, du_inv, di_inv = R_hat
+        U, I = R8.shape
+        if use_pallas and fits_vmem_binary(U, I, D, bf16_matmul):
+            u_final, i_final = lightgcn_propagate_pallas_binary(
+                params.user_emb, params.item_emb, R8, du_inv, di_inv,
+                n_layers, bf16_matmul,
+            )
+        else:  # correctness fallback; callers pick the tuple only on TPU
+            dense = du_inv[:, None] * R8.astype(du_inv.dtype) * di_inv[None, :]
+            u_final, i_final = lightgcn_propagate(
+                params.user_emb, params.item_emb, dense, n_layers, bf16_matmul
+            )
+    elif use_pallas and fits_vmem(*R_hat.shape, D, bf16_matmul):
         u_final, i_final = lightgcn_propagate_pallas(
             params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
         )
@@ -266,12 +286,24 @@ def train_lightgcn(
 
     # static device-resident graph tensors
     propagation = choose_propagation(U, I, graph.train.n_edges, cfg.compute)
+    _bf16 = cfg.compute.dtype == "bfloat16"
+    _pallas = cfg.compute.use_pallas and jax.default_backend() == "tpu"
     if propagation == "dense":
-        # In the mixed-precision path the matmul input R_hat is cast ONCE
-        # here, not inside the jitted step (45 MB -> 22 MB copy per step at
-        # ML-1M scale); the propagate functions' .astype is then a no-op.
-        r_dtype = jnp.bfloat16 if cfg.compute.dtype == "bfloat16" else dtype
-        R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), r_dtype)
+        from lgcnhs_tpu.data.graph import binary_incidence_factors
+        from lgcnhs_tpu.ops.pallas.propagation import fits_vmem_binary
+
+        if _pallas and fits_vmem_binary(U, I, hp.embedding_dim, _bf16):
+            # factored int8 incidence: the streamed operand of the bandwidth-
+            # bound propagation is 1 byte/entry (vs 2 bf16 / 4 f32), values
+            # exact (see lightgcn_propagate_pallas_binary)
+            R8, du_inv, di_inv = binary_incidence_factors(U, I, graph.train)
+            R_hat = (jnp.asarray(R8), jnp.asarray(du_inv), jnp.asarray(di_inv))
+        else:
+            # In the mixed-precision path the matmul input R_hat is cast ONCE
+            # here, not inside the jitted step (45 MB -> 22 MB copy per step
+            # at ML-1M scale); the propagate functions' .astype is a no-op.
+            r_dtype = jnp.bfloat16 if _bf16 else dtype
+            R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), r_dtype)
     else:
         from lgcnhs_tpu.ops.propagation import edge_gcn_norm
 
@@ -293,8 +325,6 @@ def train_lightgcn(
     )
     opt_state = optimizer.init(params)
     if propagation == "dense":
-        _bf16 = cfg.compute.dtype == "bfloat16"
-        _pallas = cfg.compute.use_pallas and jax.default_backend() == "tpu"
         train_step = make_train_step(
             optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
         )

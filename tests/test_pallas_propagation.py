@@ -73,3 +73,73 @@ def test_fits_vmem_guard():
     assert fits_vmem(6040, 3706, 64)  # ML-1M scale
     assert fits_vmem(6040, 3706, 64, bf16=True)
     assert not fits_vmem(100_000, 400_000, 64)  # resident state >> VMEM
+
+
+@pytest.fixture
+def binary_problem():
+    from lgcnhs_tpu.data.graph import (
+        EdgeSet,
+        binary_incidence_factors,
+        normalized_bipartite,
+    )
+
+    rng = np.random.default_rng(9)
+    U, I, D = 97, 66, 8
+    eu = rng.integers(0, U, 700).astype(np.int32)
+    ei = rng.integers(0, I, 700).astype(np.int32)
+    es = EdgeSet(eu, ei)
+    R_hat = jnp.asarray(normalized_bipartite(U, I, es))
+    R8, du, di = binary_incidence_factors(U, I, es)
+    X = jnp.asarray(rng.standard_normal((I, D)), jnp.float32)
+    Y = jnp.asarray(rng.standard_normal((U, D)), jnp.float32)
+    return R_hat, jnp.asarray(R8), jnp.asarray(du), jnp.asarray(di), X, Y
+
+
+def test_binary_factors_reconstruct_r_hat(binary_problem):
+    R_hat, R8, du, di, _, _ = binary_problem
+    recon = du[:, None] * R8.astype(jnp.float32) * di[None, :]
+    np.testing.assert_allclose(recon, R_hat, rtol=1e-6, atol=1e-7)
+
+
+def test_dual_matmul_int8_matches_float(binary_problem):
+    _, R8, _, _, X, Y = binary_problem
+    ou, oi = dual_matmul(R8, X, Y, True)
+    Rf = R8.astype(jnp.float32)
+    np.testing.assert_allclose(ou, Rf @ X, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(oi, Rf.T @ Y, rtol=1e-5, atol=1e-5)
+
+
+def test_propagate_binary_matches_dense_path(binary_problem):
+    from lgcnhs_tpu.ops.pallas.propagation import lightgcn_propagate_pallas_binary
+
+    R_hat, R8, du, di, X, Y = binary_problem
+    a_u, a_i = lightgcn_propagate_pallas_binary(Y, X, R8, du, di, 3, False, True)
+    b_u, b_i = lightgcn_propagate(Y, X, R_hat, 3, False)
+    np.testing.assert_allclose(a_u, b_u, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a_i, b_i, rtol=1e-4, atol=1e-5)
+
+
+def test_propagate_binary_grads_match_xla(binary_problem):
+    from lgcnhs_tpu.ops.pallas.propagation import lightgcn_propagate_pallas_binary
+
+    R_hat, R8, du, di, X, Y = binary_problem
+
+    def f_binary(eu, ei):
+        a_u, a_i = lightgcn_propagate_pallas_binary(eu, ei, R8, du, di, 2, False, True)
+        return jnp.sum(a_u**2) + jnp.sum(jnp.sin(a_i))
+
+    def f_xla(eu, ei):
+        b_u, b_i = lightgcn_propagate(eu, ei, R_hat, 2, False)
+        return jnp.sum(b_u**2) + jnp.sum(jnp.sin(b_i))
+
+    g_b = jax.grad(f_binary, argnums=(0, 1))(Y, X)
+    g_x = jax.grad(f_xla, argnums=(0, 1))(Y, X)
+    for a, b in zip(g_b, g_x):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_fits_vmem_binary():
+    from lgcnhs_tpu.ops.pallas.propagation import fits_vmem_binary
+
+    assert fits_vmem_binary(6040, 3706, 64)
+    assert fits_vmem_binary(6040, 3706, 64, bf16=True)
