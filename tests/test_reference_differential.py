@@ -1,0 +1,296 @@
+"""Differential parity: run the REFERENCE'S OWN code and diff against ours.
+
+The transcribed-formula tests (tests/reference_formulas.py) pin our ops to a
+hand-copied spec; these tests go one step further and execute the actual
+reference modules from /root/reference (pure numpy/pandas/torch on the
+training-free paths) side by side with the lgcnhs_tpu implementations:
+
+- model/SpreadMethod/model.py   (W_gen / ProbS / HeatS / HybridS / getResource)
+- model/SpreadMethod/recommend.py:18-56 (argsort-filter ranking incl. the
+  ProbS-on-movielens no-filter quirk)
+- metrics/accurate.py, metrics/diversity.py (P/R/F1/NDCG/H/I with the
+  reference's 5-decimal rounding)
+
+The reference modules import a module-global config (`const.cfg`, which
+makedirs on import) and a file logger; both are replaced with inert stubs so
+the import has no side effects and never touches the read-only reference
+tree. Skipped wholesale when /root/reference is not mounted.
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pandas as pd
+import pytest
+
+REF_ROOT = Path("/root/reference")
+
+_STUBBED = ("const", "utils", "utils.log", "utils.wrapper", "utils.trans",
+            "model", "model.SpreadMethod", "model.SpreadMethod.model",
+            "model.SpreadMethod.recommend", "metrics", "metrics.accurate",
+            "metrics.diversity")
+
+
+class _NullLogger:
+    def __getattr__(self, _name):
+        return lambda *a, **k: None
+
+
+def _cal_times_stub(_logger, _msg):
+    def deco(fn):
+        return fn
+
+    return deco
+
+
+@pytest.fixture()
+def reference(tmp_path):
+    """Import the real reference modules with side-effect-free stand-ins for
+    `const.cfg` and the logging utilities. Yields a namespace with the loaded
+    modules plus the mutable fake cfg."""
+    if not REF_ROOT.exists():
+        pytest.skip("/root/reference not mounted")
+    saved = {name: sys.modules.get(name) for name in _STUBBED}
+
+    cfg = SimpleNamespace(
+        DATA_SET="douban",
+        MODEL={"name": "HybridS"},
+        RECOMMEND={"save_path": str(tmp_path) + "/", "k": 5},
+    )
+
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = [str(REF_ROOT / "utils")]
+    log_stub = types.ModuleType("utils.log")
+    log_stub.logger = _NullLogger()
+    wrapper_stub = types.ModuleType("utils.wrapper")
+    wrapper_stub.calTimes = _cal_times_stub
+    const_stub = types.ModuleType("const")
+    const_stub.cfg = cfg
+    model_pkg = types.ModuleType("model")
+    model_pkg.__path__ = [str(REF_ROOT / "model")]
+    metrics_pkg = types.ModuleType("metrics")
+    metrics_pkg.__path__ = [str(REF_ROOT / "metrics")]
+
+    sys.modules.update(
+        {
+            "utils": utils_pkg,
+            "utils.log": log_stub,
+            "utils.wrapper": wrapper_stub,
+            "const": const_stub,
+            "model": model_pkg,
+            "metrics": metrics_pkg,
+        }
+    )
+    try:
+        ns = SimpleNamespace(
+            cfg=cfg,
+            spread=importlib.import_module("model.SpreadMethod.model"),
+            spread_rec=importlib.import_module("model.SpreadMethod.recommend"),
+            accurate=importlib.import_module("metrics.accurate"),
+            diversity=importlib.import_module("metrics.diversity"),
+            trans=importlib.import_module("utils.trans"),
+        )
+        yield ns
+    finally:
+        for name in _STUBBED:
+            if saved[name] is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = saved[name]
+
+
+def _random_interactions(rng, n_users, n_items, n_edges):
+    """Unique (user, item) pairs; leaves some zero-degree users/items."""
+    pairs = np.unique(
+        np.stack(
+            [
+                rng.integers(0, n_users, n_edges),
+                rng.integers(0, n_items, n_edges),
+            ]
+        ),
+        axis=1,
+    )
+    return pairs[0].astype(np.int32), pairs[1].astype(np.int32)
+
+
+def test_spread_operators_match_reference_code(reference):
+    from lgcnhs_tpu.ops import diffusion
+
+    rng = np.random.default_rng(7)
+    eu, ei = _random_interactions(rng, 18, 25, 160)
+    A = np.zeros((18, 25))
+    A[eu, ei] = 1.0
+
+    W_gen_ref = reference.spread.getSpreadingGeneralMat(A.copy())
+    W_gen = np.asarray(diffusion.general_spreading_matrix(A.astype(np.float32)))
+    np.testing.assert_allclose(W_gen, W_gen_ref, rtol=2e-5, atol=1e-6)
+
+    np.testing.assert_allclose(
+        np.asarray(diffusion.probs_transfer(A.astype(np.float32), W_gen)),
+        reference.spread.ProbS(A.copy(), W_gen_ref),
+        rtol=2e-5,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(diffusion.heats_transfer(A.astype(np.float32), W_gen)),
+        reference.spread.HeatS(A.copy(), W_gen_ref),
+        rtol=2e-5,
+        atol=1e-6,
+    )
+    for lam in (0.0, 0.37, 0.85, 1.0):
+        W_ref = reference.spread.HybridS(A.copy(), W_gen_ref.copy(), lam)
+        W = np.asarray(
+            diffusion.hybrid_transfer(
+                A.astype(np.float32), W_gen, np.float32(lam)
+            )
+        )
+        np.testing.assert_allclose(W, W_ref, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(diffusion.resource(A.astype(np.float32), W)),
+            reference.spread.getResource(A.copy(), W_ref),
+            rtol=2e-5,
+            atol=1e-5,
+        )
+
+
+def test_diffusion_chain_matches_reference_chain(reference):
+    """Full diffusion_scores program vs the reference's W_gen->HybridS->
+    getResource chain, both plain and with the transposed-W dataset quirk."""
+    from lgcnhs_tpu.ops.diffusion import diffusion_scores
+
+    rng = np.random.default_rng(11)
+    eu, ei = _random_interactions(rng, 30, 40, 350)
+    A = np.zeros((30, 40))
+    A[eu, ei] = 1.0
+
+    W_gen_ref = reference.spread.getSpreadingGeneralMat(A.copy())
+    for lam, transpose in ((0.6, False), (0.01, True), (0.99, True)):
+        # the dataset quirks transpose W_gen BEFORE blending
+        # (recommend.py:89-101)
+        W_in = W_gen_ref.T.copy() if transpose else W_gen_ref.copy()
+        W_ref = reference.spread.HybridS(A.copy(), W_in, lam)
+        F_ref = reference.spread.getResource(A.copy(), W_ref)
+        F = np.asarray(
+            diffusion_scores(
+                A.astype(np.float32), np.float32(lam), transpose_w=transpose
+            )
+        )
+        np.testing.assert_allclose(F, F_ref, rtol=3e-5, atol=1e-5)
+
+
+def test_spread_ranking_matches_reference_code(reference):
+    """rank_exclude_seen vs the reference's per-user argsort+filter loop
+    (distinct scores, so the reference's unstable sort order is unique)."""
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.ops.topk import rank_exclude_seen
+
+    rng = np.random.default_rng(3)
+    n_users, n_items, k = 12, 30, 5
+    eu, ei = _random_interactions(rng, n_users, n_items, 120)
+    # scores drawn directly in float32 so both sides sort identical values
+    F = rng.standard_normal((n_users, n_items)).astype(np.float32)
+
+    half = len(eu) // 2
+    train_df = pd.DataFrame({"user_id": eu[:half], "item_id": ei[:half]})
+    val_df = pd.DataFrame({"user_id": eu[half:], "item_id": ei[half:]})
+
+    reference.cfg.DATA_SET = "douban"
+    reference.cfg.MODEL["name"] = "HybridS"
+    ref_dict = reference.spread_rec.recommendForAllUser(
+        F.astype(np.float64), n_users, train_df, val_df, k
+    )
+
+    seen = np.zeros((n_users, n_items), bool)
+    seen[eu, ei] = True
+    ours = np.asarray(rank_exclude_seen(jnp.asarray(F), jnp.asarray(seen), k))
+    for uid in range(n_users):
+        assert list(ours[uid]) == [int(i) for i in ref_dict[uid]], uid
+
+    # ProbS-on-movielens quirk: ranking skips the seen filter entirely
+    reference.cfg.DATA_SET = "movielens"
+    reference.cfg.MODEL["name"] = "ProbS"
+    ref_dict = reference.spread_rec.recommendForAllUser(
+        F.astype(np.float64), n_users, train_df, val_df, k
+    )
+    ours = np.asarray(
+        rank_exclude_seen(jnp.asarray(F), jnp.asarray(seen), k, filter_seen=False)
+    )
+    for uid in range(n_users):
+        assert list(ours[uid]) == [int(i) for i in ref_dict[uid]], uid
+
+
+def test_metrics_match_reference_code(reference):
+    """All six metrics, computed by the reference's own torch/numpy loops and
+    by our vectorized kernels, agree to the reference's 5-decimal rounding."""
+    import torch
+
+    from lgcnhs_tpu.data.graph import EdgeSet
+    from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
+
+    rng = np.random.default_rng(19)
+    n_users, n_items, k = 16, 40, 6
+    tr_u, tr_i = _random_interactions(rng, n_users, n_items, 220)
+    va_u, va_i = _random_interactions(rng, n_users, n_items, 60)
+    te_u, te_i = _random_interactions(rng, n_users, n_items, 90)
+
+    rec = np.stack(
+        [rng.permutation(n_items)[:k] for _ in range(n_users)]
+    ).astype(np.int64)
+    # plant one test positive per present user so P, R, F1 are nonzero
+    for uid in np.unique(te_u):
+        rec[uid, 0] = te_i[te_u == uid][0]
+
+    # ---- reference side ----
+    pos_dict = {}
+    for uid in np.unique(te_u):
+        pos_dict[int(uid)] = [int(i) for i in te_i[te_u == uid]]
+    rec_t = torch.from_numpy(rec)
+    p_ref, r_ref, f1_ref, ndcg_ref = reference.accurate.getAccurateMetrics(
+        pos_dict, rec_t, k
+    )
+    seen_u = np.concatenate([tr_u, va_u])
+    seen_i = np.concatenate([tr_i, va_i])
+    interaction = np.zeros((n_users, n_items))
+    interaction[seen_u, seen_i] = 1.0
+    deg_dict = {}
+    for iid in seen_i:
+        deg_dict[int(iid)] = deg_dict.get(int(iid), 0) + 1
+    h_ref, i_ref = reference.diversity.getDiversityMetrics(
+        rec_t, deg_dict, interaction, k
+    )
+
+    # ---- our side ----
+    ctx = EvalContext.build(
+        n_users,
+        n_items,
+        eval_edges=EdgeSet(te_u, te_i),
+        train_edges=EdgeSet(tr_u, tr_i),
+        val_edges=EdgeSet(va_u, va_i),
+    )
+    ours = evaluate_recommendations(ctx, rec)
+
+    assert ours["P"] == pytest.approx(p_ref, abs=1.01e-5)
+    assert ours["R"] == pytest.approx(r_ref, abs=1.01e-5)
+    assert ours["F1"] == pytest.approx(f1_ref, abs=2.01e-5)
+    assert ours["NDCG"] == pytest.approx(ndcg_ref, abs=1.01e-5)
+    assert ours["H"] == pytest.approx(h_ref, abs=1.01e-5)
+    assert ours["I"] == pytest.approx(i_ref, abs=1.01e-5)
+
+
+def test_interaction_matrix_matches_reference_trans(reference):
+    """data/graph.interaction_matrix (vectorized) vs the reference's python
+    row loop (utils/trans.py:13-29)."""
+    from lgcnhs_tpu.data.graph import EdgeSet, interaction_matrix
+
+    rng = np.random.default_rng(23)
+    eu, ei = _random_interactions(rng, 9, 14, 60)
+    df = pd.DataFrame({"user_id": eu, "item_id": ei, "rating": 1})
+    ref_A = reference.trans.getInteractionMatrixByDataframe(9, 14, df)
+    ours = interaction_matrix(9, 14, EdgeSet(eu, ei))
+    np.testing.assert_array_equal(np.asarray(ours), ref_A)
