@@ -33,7 +33,8 @@ REF_ROOT = Path("/root/reference")
 _STUBBED = ("const", "utils", "utils.log", "utils.wrapper", "utils.trans",
             "model", "model.SpreadMethod", "model.SpreadMethod.model",
             "model.SpreadMethod.recommend", "metrics", "metrics.accurate",
-            "metrics.diversity")
+            "metrics.diversity", "waste", "waste.metrics",
+            "waste.metrics.novelty2")
 
 
 class _NullLogger:
@@ -75,6 +76,8 @@ def reference(tmp_path):
     model_pkg.__path__ = [str(REF_ROOT / "model")]
     metrics_pkg = types.ModuleType("metrics")
     metrics_pkg.__path__ = [str(REF_ROOT / "metrics")]
+    waste_pkg = types.ModuleType("waste")
+    waste_pkg.__path__ = [str(REF_ROOT / "waste")]
 
     sys.modules.update(
         {
@@ -84,6 +87,7 @@ def reference(tmp_path):
             "const": const_stub,
             "model": model_pkg,
             "metrics": metrics_pkg,
+            "waste": waste_pkg,
         }
     )
     try:
@@ -93,6 +97,7 @@ def reference(tmp_path):
             spread_rec=importlib.import_module("model.SpreadMethod.recommend"),
             accurate=importlib.import_module("metrics.accurate"),
             diversity=importlib.import_module("metrics.diversity"),
+            novelty=importlib.import_module("waste.metrics.novelty2"),
             trans=importlib.import_module("utils.trans"),
         )
         yield ns
@@ -283,6 +288,48 @@ def test_metrics_match_reference_code(reference):
     assert ours["I"] == pytest.approx(i_ref, abs=1.01e-5)
 
 
+def test_novelty_matches_reference_code(reference):
+    """novelty_avg_degree vs the reference's prototyped novelty metric
+    (waste/metrics/novelty2.py:14-55): mean train+val degree of recommended
+    items, rounded to 5 decimals."""
+    import torch
+
+    from lgcnhs_tpu.ops.metrics_ops import novelty_avg_degree
+
+    rng = np.random.default_rng(29)
+    n_users, n_items, k = 14, 35, 6
+    eu, ei = _random_interactions(rng, n_users, n_items, 150)
+    rec = np.stack(
+        [rng.permutation(n_items)[:k] for _ in range(n_users)]
+    ).astype(np.int64)
+
+    deg_dict = {}
+    for iid in ei:
+        deg_dict[int(iid)] = deg_dict.get(int(iid), 0) + 1
+    ref = reference.novelty.getNoveltyMetrics(torch.from_numpy(rec), deg_dict, k)
+
+    deg = np.zeros(n_items, np.int32)
+    np.add.at(deg, ei, 1)
+    ours = round(float(novelty_avg_degree(rec, deg)), 5)
+    assert ours == pytest.approx(ref, abs=1.01e-5)
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    """profile_trace (the reference has only wall-clock logging,
+    utils/wrapper.py:12-34; jax.profiler tracing is a new capability)."""
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.runtime.logging import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    produced = list((tmp_path / "trace").rglob("*"))
+    assert produced, "profiler produced no trace artifacts"
+    # no-op mode must also be safe
+    with profile_trace(None):
+        pass
+
+
 def test_interaction_matrix_matches_reference_trans(reference):
     """data/graph.interaction_matrix (vectorized) vs the reference's python
     row loop (utils/trans.py:13-29)."""
@@ -294,3 +341,86 @@ def test_interaction_matrix_matches_reference_trans(reference):
     ref_A = reference.trans.getInteractionMatrixByDataframe(9, 14, df)
     ours = interaction_matrix(9, 14, EdgeSet(eu, ei))
     np.testing.assert_array_equal(np.asarray(ours), ref_A)
+
+
+@pytest.mark.parametrize(
+    "method,dataset",
+    [
+        ("HybridS", "movielens"),
+        ("ProbS", "douban"),
+        ("HeatS", "movielens"),
+        ("ProbS", "movielens"),  # transpose + lambda=0.01 + no-seen-filter quirk
+        ("HeatS", "douban"),  # transpose + lambda=0.99 quirk
+    ],
+)
+def test_spread_pipeline_end_to_end_matches_reference(reference, method, dataset):
+    """Full training-free pipeline differential: the reference's
+    recommendSpreadMethod (A build -> W_gen -> dataset quirk dispatch ->
+    HybridS -> getResource -> argsort-filter ranking,
+    model/SpreadMethod/recommend.py:59-115) against recommend_spread_method,
+    identical recommendation lists for every user, and identical 5-decimal
+    metrics computed by both metric stacks on those lists."""
+    import torch
+
+    from lgcnhs_tpu.config import load_config
+    from lgcnhs_tpu.data.graph import EdgeSet, InteractionGraph
+    from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
+    from lgcnhs_tpu.models.spread import recommend_spread_method
+
+    rng = np.random.default_rng(31)
+    n_users, n_items, k = 15, 28, 5
+    tr_u, tr_i = _random_interactions(rng, n_users, n_items, 170)
+    va_u, va_i = _random_interactions(rng, n_users, n_items, 50)
+    te_u, te_i = _random_interactions(rng, n_users, n_items, 60)
+
+    cfg = load_config(env="dev", dataset=dataset, model=method).replace(k=k)
+    lam = cfg.hparams.lambda_
+
+    # ---- reference side ----
+    reference.cfg.DATA_SET = dataset
+    reference.cfg.MODEL = {"name": method, "HyperParameter": {"lambda": lam}}
+    reference.cfg.RECOMMEND["k"] = k
+    train_df = pd.DataFrame({"user_id": tr_u, "item_id": tr_i})
+    val_df = pd.DataFrame({"user_id": va_u, "item_id": va_i})
+    ref_dict = reference.spread_rec.recommendSpreadMethod(
+        n_users, n_items, train_df, val_df, method, lam
+    )
+    ref_rec = np.stack([[int(i) for i in ref_dict[u]] for u in range(n_users)])
+
+    # ---- our side ----
+    graph = InteractionGraph(
+        n_users=n_users,
+        n_items=n_items,
+        all=EdgeSet(
+            np.concatenate([tr_u, va_u, te_u]), np.concatenate([tr_i, va_i, te_i])
+        ),
+        train=EdgeSet(tr_u, tr_i),
+        val=EdgeSet(va_u, va_i),
+        test=EdgeSet(te_u, te_i),
+    )
+    ours = recommend_spread_method(graph, cfg, method)
+
+    np.testing.assert_array_equal(ours, ref_rec)
+
+    # metrics computed by both stacks on the (identical) lists agree
+    ctx = EvalContext.build(
+        n_users, n_items, EdgeSet(te_u, te_i), EdgeSet(tr_u, tr_i), EdgeSet(va_u, va_i)
+    )
+    mine = evaluate_recommendations(ctx, ours)
+    pos_dict = {int(u): [int(i) for i in te_i[te_u == u]] for u in np.unique(te_u)}
+    p, r, _f1, n = reference.accurate.getAccurateMetrics(
+        pos_dict, torch.from_numpy(ref_rec), k
+    )
+    deg_dict = {}
+    for iid in np.concatenate([tr_i, va_i]):
+        deg_dict[int(iid)] = deg_dict.get(int(iid), 0) + 1
+    interaction = np.zeros((n_users, n_items))
+    interaction[np.concatenate([tr_u, va_u]), np.concatenate([tr_i, va_i])] = 1.0
+    h, i = reference.diversity.getDiversityMetrics(
+        torch.from_numpy(ref_rec), deg_dict, interaction, k
+    )
+    assert mine["P"] == pytest.approx(p, abs=1.01e-5)
+    assert mine["R"] == pytest.approx(r, abs=1.01e-5)
+    assert mine["NDCG"] == pytest.approx(n, abs=1.01e-5)
+    assert mine["H"] == pytest.approx(h, abs=1.01e-5)
+    assert mine["I"] == pytest.approx(i, abs=1.01e-5)
