@@ -343,6 +343,48 @@ def test_interaction_matrix_matches_reference_trans(reference):
     np.testing.assert_array_equal(np.asarray(ours), ref_A)
 
 
+def test_bpr_loss_matches_reference_code(reference):
+    """models/lightgcn.bpr_loss vs the reference's BPRLoss function
+    (model/LightGCN/loss.py:12-44) — including the sign-flipped softplus and
+    the UN-normalized L2 term. torch-geometric is absent in this image, but
+    BPRLoss itself only needs torch; its module-level
+    structured_negative_sampling import is satisfied with a stub."""
+    import torch
+
+    from lgcnhs_tpu.models.lightgcn import bpr_loss
+
+    tg = types.ModuleType("torch_geometric")
+    tg.__path__ = []
+    tg_utils = types.ModuleType("torch_geometric.utils")
+    tg_utils.structured_negative_sampling = lambda *a, **k: None
+    saved = {
+        n: sys.modules.get(n) for n in ("torch_geometric", "torch_geometric.utils")
+    }
+    sys.modules.update({"torch_geometric": tg, "torch_geometric.utils": tg_utils})
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "model.LightGCN.loss", REF_ROOT / "model" / "LightGCN" / "loss.py"
+        )
+        ref_loss_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_loss_mod)
+    finally:
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    rng = np.random.default_rng(41)
+    B, D = 64, 16
+    slabs = [rng.standard_normal((B, D)).astype(np.float32) for _ in range(6)]
+    eps = 1e-6
+    ref_val = float(
+        ref_loss_mod.BPRLoss(*[torch.from_numpy(s) for s in slabs], eps)
+    )
+    ours = float(bpr_loss(*slabs, eps))
+    assert ours == pytest.approx(ref_val, rel=1e-5)
+
+
 @pytest.mark.parametrize(
     "method,dataset",
     [
