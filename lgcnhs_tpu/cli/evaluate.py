@@ -64,15 +64,25 @@ def main(argv=None) -> dict:
             )
             sheets[k] = df
 
-    # optional Excel workbook for byte-level reference parity
-    try:
-        with pd.ExcelWriter(
-            os.path.join(cfg.evaluation_path, "model_evaluation_results.xlsx")
-        ) as writer:
-            for k, df in sheets.items():
-                df.to_excel(writer, sheet_name=str(k), index=False)
-    except Exception:
-        log.info("openpyxl unavailable; CSV reports only")
+    # Excel workbook like the reference's (evaluationMetrics.py:94-96):
+    # pandas/openpyxl when available, else the in-repo minimal OOXML writer
+    if sheets:
+        xlsx_path = os.path.join(cfg.evaluation_path, "model_evaluation_results.xlsx")
+        try:
+            with pd.ExcelWriter(xlsx_path) as writer:
+                for k, df in sheets.items():
+                    df.to_excel(writer, sheet_name=str(k), index=False)
+        except Exception:
+            from lgcnhs_tpu.runtime.xlsx import write_xlsx
+
+            write_xlsx(
+                xlsx_path,
+                {
+                    str(k): [list(df.columns)] + df.values.tolist()
+                    for k, df in sheets.items()
+                },
+            )
+            log.info("openpyxl unavailable; wrote %s with built-in writer", xlsx_path)
     return sheets
 
 

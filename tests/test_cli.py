@@ -62,3 +62,28 @@ def test_evaluate_report(tmp_path):
     )
     assert 10 in sheets
     assert set(sheets[10]["Model"]) == {"HybridS", "HeatS"}
+
+    # the Excel workbook is written even without openpyxl (built-in OOXML
+    # writer); verify the zip structure and cell contents with stdlib tools
+    import glob
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    [xlsx] = glob.glob(str(tmp_path / "**" / "model_evaluation_results.xlsx"),
+                       recursive=True)
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(xlsx) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        names = [s.attrib["name"] for s in wb.iter(f"{ns}sheet")]
+        assert names == ["10"]
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        rows = list(sheet.iter(f"{ns}row"))
+        assert len(rows) == 3  # header + 2 models
+        header = [c.find(f"{ns}is/{ns}t").text for c in rows[0].iter(f"{ns}c")]
+        assert header[0] == "Model"
+        assert {"P", "R", "F1", "NDCG", "H", "I"} <= set(header)
+        first_model = rows[1].find(f"{ns}c").find(f"{ns}is/{ns}t").text
+        assert first_model in {"HybridS", "HeatS"}
+        # numeric cells round-trip as floats
+        vals = [float(v.text) for v in rows[1].iter(f"{ns}v")]
+        assert len(vals) == len(header) - 1
