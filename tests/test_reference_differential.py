@@ -343,6 +343,75 @@ def test_interaction_matrix_matches_reference_trans(reference):
     np.testing.assert_array_equal(np.asarray(ours), ref_A)
 
 
+def test_handle_rating_matches_reference_code(reference, tmp_path):
+    """data/ratings.prepare_ratings vs the reference's handleRating
+    (processing/handleData.py:17-123): identical quantile-band filter,
+    LabelEncoder id assignment, and seeded 8:1:1 row split, row for row."""
+    from dataclasses import replace
+
+    from lgcnhs_tpu.config import load_config
+    from lgcnhs_tpu.data.ratings import prepare_ratings
+
+    cols = {
+        "user_id": "user",
+        "item_id": "item",
+        "rating": "rating",
+        "rating_time": "timestamp",
+    }
+    # sparse external ids + skewed activity so the quantile band really filters
+    rng = np.random.default_rng(47)
+    n_rows = 900
+    users = rng.choice(np.arange(100, 400, 7), n_rows)
+    raw = pd.DataFrame(
+        {
+            "user": users,
+            "item": rng.choice(np.arange(5000, 5600, 13), n_rows),
+            "rating": rng.integers(1, 6, n_rows),
+            "timestamp": rng.integers(10_000, 99_999, n_rows),
+        }
+    )
+    quantile = {"start": 0.9, "end": 0.1}
+
+    reference.cfg.PREPROCESSING = {
+        "columns_map": cols,
+        "quantile": quantile,
+        "split_percentage": [0.2, 0.5],
+        "seed": 42,
+    }
+    spec = importlib.util.spec_from_file_location(
+        "processing.handleData", REF_ROOT / "processing" / "handleData.py"
+    )
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+    ref_filtered, ref_train, ref_val, ref_test, ref_uid, ref_iid = (
+        ref_mod.handleRating(raw.copy(), str(tmp_path))
+    )
+
+    cfg = load_config(env="dev", dataset="movielens", model="HybridS")
+    cfg = cfg.replace(
+        preprocessing=replace(
+            cfg.preprocessing,
+            columns_map=cols,
+            quantile_start=quantile["start"],
+            quantile_end=quantile["end"],
+        )
+    )
+    splits = prepare_ratings(raw.copy(), cfg)
+
+    keep = ["user_id", "item_id", "rating"]
+    np.testing.assert_array_equal(
+        splits.rating[keep].to_numpy(), ref_filtered[keep].to_numpy()
+    )
+    assert splits.uid_mapping == {int(k): int(v) for k, v in ref_uid.items()}
+    assert splits.iid_mapping == {int(k): int(v) for k, v in ref_iid.items()}
+    for mine, ref in (
+        (splits.train, ref_train),
+        (splits.val, ref_val),
+        (splits.test, ref_test),
+    ):
+        np.testing.assert_array_equal(mine[keep].to_numpy(), ref[keep].to_numpy())
+
+
 def test_bpr_loss_matches_reference_code(reference):
     """models/lightgcn.bpr_loss vs the reference's BPRLoss function
     (model/LightGCN/loss.py:12-44) — including the sign-flipped softplus and
