@@ -34,8 +34,8 @@ from lgcnhs_tpu.data.movielens import _remap_features, save_feature_csvs
 from lgcnhs_tpu.data.ratings import RatingSplits, prepare_ratings
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
 
-N_DURATION_BUCKETS = 5
-N_YEAR_BUCKETS = 13
+N_DURATION_BUCKETS = 6  # durationMap values 1..6 (handleFeature.py:147-164)
+N_YEAR_BUCKETS = 7  # yearMap values 0..6 (handleFeature.py:39-59)
 
 
 def _split_multi(series: pd.Series, pattern: str) -> list:
@@ -74,9 +74,10 @@ def douban_item_features(
     ).astype(np.float32)
 
     years = pd.to_numeric(items["YEAR"], errors="coerce").fillna(0).astype(int)
-    year_oh = np.stack([one_hot(year_bucket(y), N_YEAR_BUCKETS) for y in years]).astype(
-        np.float32
-    )
+    # missing years -> bucket 0, like the reference's yearMap("nan")
+    year_oh = np.stack(
+        [one_hot(year_bucket(y) if y > 0 else 0, N_YEAR_BUCKETS) for y in years]
+    ).astype(np.float32)
 
     name_emb = text_embeddings(items["NAME"].astype(str).tolist(), title_dim)
     story_emb = text_embeddings(items["STORYLINE"].astype(str).tolist(), content_dim)

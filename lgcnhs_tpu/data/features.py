@@ -27,41 +27,58 @@ import numpy as np
 
 
 def age_bucket(age: int) -> int:
-    """Reference ``ageMap`` (``handleFeature.py:17-34``): 8 buckets at
-    <18, 18-24, 25-34, 35-44, 45-49, 50-55, >56."""
-    if age < 18:
+    """Reference ``ageMap`` (``handleFeature.py:17-36``), 0-based: seven
+    buckets at 1-7, 8-16, 17-29, 30-39, 40-49, 50-59, >=60. The reference
+    falls off the end and returns None for age < 1; we clamp to the first
+    bucket (documented deviation — ML-100K has no such ages)."""
+    if age <= 7:
         return 0
-    if age <= 24:
+    if age <= 16:
         return 1
-    if age <= 34:
+    if age <= 29:
         return 2
-    if age <= 44:
+    if age <= 39:
         return 3
     if age <= 49:
         return 4
-    if age <= 55:
+    if age <= 59:
         return 5
     return 6
 
 
-def year_bucket(year: int, start: int = 1900, step: int = 10) -> int:
-    """Decade bucketing of release years (``handleFeature.py:37-59``)."""
-    if year <= start:
-        return 0
-    return min((year - start) // step, 12)
-
-
-def duration_bucket(minutes: int) -> int:
-    """Douban duration buckets (``handleFeature.py:147-164``)."""
-    if minutes < 60:
-        return 0
-    if minutes < 90:
+def year_bucket(year: int) -> int:
+    """Reference ``yearMap`` (``handleFeature.py:39-59``): 0 for missing
+    (callers map unparseable years to 0 like the reference's "nan"), then
+    <1970 -> 1, one bucket per decade through the 2000s, >=2010 -> 6."""
+    if year < 1970:
         return 1
-    if minutes < 120:
+    if year < 1980:
         return 2
-    if minutes < 150:
+    if year < 1990:
         return 3
-    return 4
+    if year < 2000:
+        return 4
+    if year < 2010:
+        return 5
+    return 6
+
+
+def duration_bucket(minutes: float) -> int:
+    """Reference ``durationMap`` (``handleFeature.py:147-164``), 0-based:
+    six buckets at [0,30], (30,60], (60,90], (90,120], (120,150], >150.
+    The reference returns None for negative durations; we clamp to the
+    first bucket."""
+    if minutes <= 30:
+        return 0
+    if minutes <= 60:
+        return 1
+    if minutes <= 90:
+        return 2
+    if minutes <= 120:
+        return 3
+    if minutes <= 150:
+        return 4
+    return 5
 
 
 def one_hot(index: int, size: int) -> List[int]:

@@ -36,8 +36,8 @@ GENRE_COLUMNS = [
     "Musical", "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
 ]
 
-N_AGE_BUCKETS = 7
-N_YEAR_BUCKETS = 13
+N_AGE_BUCKETS = 7  # ageMap values 1..7 (handleFeature.py:17-36)
+N_YEAR_BUCKETS = 7  # yearMap values 0..6 (handleFeature.py:39-59)
 
 
 def read_movielens_raw(paths: Dict[str, str]):

@@ -58,8 +58,8 @@ def test_movielens_ingestion(tmp_path):
     assert itf.shape[0] == splits.n_items
     # user features: gender(1) + age one-hot(7) + occupation one-hot(3)
     assert uf.shape[1] == 1 + 7 + 3
-    # item features: 19 genres + 13 year buckets + 5-d title embedding
-    assert itf.shape[1] == 19 + 13 + 5
+    # item features: 19 genres + 7 year buckets (yearMap 0..6) + 5-d title
+    assert itf.shape[1] == 19 + 7 + 5
     assert np.isfinite(uf).all() and np.isfinite(itf).all()
     # artifacts written
     for name in ("filter_rating", "train_data", "user_features", "item_features"):
@@ -139,8 +139,8 @@ def test_douban_ingestion(tmp_path):
     # unknown movie dropped (handleDouban.py:182-183)
     assert splits.n_items <= 25
     assert uf.shape == (splits.n_users, 3)  # nickname embedding dim 3
-    # item features: name(3) + genres + langs + duration(5) + story(20) +
-    # regions + year(13)
+    # item features: name(3) + genres + langs + duration(6) + story(20) +
+    # regions + year(7)
     assert itf.shape[0] == splits.n_items
-    assert itf.shape[1] >= 3 + 1 + 1 + 5 + 20 + 1 + 13
+    assert itf.shape[1] >= 3 + 1 + 1 + 6 + 20 + 1 + 7
     assert np.isfinite(itf).all()

@@ -412,6 +412,110 @@ def test_handle_rating_matches_reference_code(reference, tmp_path):
         np.testing.assert_array_equal(mine[keep].to_numpy(), ref[keep].to_numpy())
 
 
+def _load_handle_feature():
+    """Import the reference's handleFeature with its heavyweight text deps
+    (jieba/nltk/gensim, absent in this image) stubbed; the bucketing maps
+    under test are pure python."""
+    stubs = {}
+    for name in ("jieba", "gensim", "gensim.models", "nltk", "nltk.corpus",
+                 "nltk.stem"):
+        stubs[name] = types.ModuleType(name)
+    stubs["gensim"].__path__ = []
+    stubs["nltk"].__path__ = []
+    stubs["gensim.models"].Word2Vec = object
+    stubs["nltk.corpus"].stopwords = SimpleNamespace(words=lambda lang: [])
+    stubs["nltk.stem"].WordNetLemmatizer = object
+    saved = {n: sys.modules.get(n) for n in stubs}
+    sys.modules.update(stubs)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "processing.handleFeature",
+            REF_ROOT / "processing" / "handleFeature.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+
+def test_bucket_maps_match_reference_code(reference):
+    """age/year/duration bucketing vs the reference's ageMap/yearMap/
+    durationMap over their full input ranges (our buckets are 0-based,
+    reference's are 1-based — the one-hot position is what must agree)."""
+    from lgcnhs_tpu.data.features import age_bucket, duration_bucket, year_bucket
+
+    hf = _load_handle_feature()
+    for age in range(1, 101):
+        assert age_bucket(age) == hf.ageMap(age) - 1, age
+    for year in range(1900, 2031):
+        assert year_bucket(year) == hf.yearMap(str(year)), year
+    assert hf.yearMap("nan") == 0  # missing-year sentinel callers reproduce
+    for minutes in range(0, 301, 5):
+        assert duration_bucket(minutes) == hf.durationMap(float(minutes)) - 1, minutes
+
+
+def test_movielens_user_features_match_reference_code(reference):
+    """movielens_user_features vs the reference's movielensUserFeature
+    (handleMovielens.py:20-58). The reference one-hot encodes with
+    pd.get_dummies over PRESENT categories only, so the inputs cover every
+    age bucket and occupation to make the layouts comparable."""
+    hf = _load_handle_feature()
+    # handleMovielens needs const/utils stubs (active from the fixture) plus
+    # processing.handleData/handleFeature entries
+    proc_pkg = types.ModuleType("processing")
+    proc_pkg.__path__ = [str(REF_ROOT / "processing")]
+    saved = {
+        n: sys.modules.get(n)
+        for n in ("processing", "processing.handleFeature", "processing.handleData")
+    }
+    reference.cfg.PREPROCESSING = {"vector_size": {"title": 5, "content": 20}}
+    sys.modules["processing"] = proc_pkg
+    sys.modules["processing.handleFeature"] = hf
+    hd = types.ModuleType("processing.handleData")
+    hd.handleRating = lambda *a, **k: None
+    sys.modules["processing.handleData"] = hd
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "processing.handleMovielens",
+            REF_ROOT / "processing" / "handleMovielens.py",
+        )
+        hm = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(hm)
+    finally:
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    from lgcnhs_tpu.data.movielens import movielens_user_features
+
+    rng = np.random.default_rng(53)
+    occupations = pd.DataFrame({"occupation": ["artist", "doctor", "engineer"]})
+    ages = [5, 10, 20, 35, 45, 55, 70, 23, 33, 64, 18, 41]  # all 7 buckets
+    users = pd.DataFrame(
+        {
+            "user_id": np.arange(1, len(ages) + 1),
+            "age": ages,
+            "gender": rng.choice(["M", "F"], len(ages)),
+            "occupation": ["artist", "doctor", "engineer"] * 4,
+            "zip_code": ["00000"] * len(ages),
+        }
+    )
+
+    ref_df = hm.movielensUserFeature(users.copy(), occupations.copy())
+    ref_feats = np.asarray(ref_df["user_features"].tolist(), dtype=np.float32)
+
+    ids, ours = movielens_user_features(users.copy(), occupations)
+    np.testing.assert_array_equal(ids, ref_df["user_id"].to_numpy())
+    np.testing.assert_array_equal(ours, ref_feats)
+
+
 def test_bpr_loss_matches_reference_code(reference):
     """models/lightgcn.bpr_loss vs the reference's BPRLoss function
     (model/LightGCN/loss.py:12-44) — including the sign-flipped softplus and
