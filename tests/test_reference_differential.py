@@ -288,6 +288,66 @@ def test_metrics_match_reference_code(reference):
     assert ours["I"] == pytest.approx(i_ref, abs=1.01e-5)
 
 
+def test_graph_converters_round_trip_matches_our_layout(reference):
+    """The reference shuttles between bipartite edge indices and joint
+    (U+I)x(U+I) adjacency COO every epoch (utils/graph.py:12-50). We never
+    materialize the joint graph — this test runs the reference's own
+    converters and checks (a) their joint COO is exactly the
+    [[0, R], [R^T, 0]] block layout our bipartite factorization assumes,
+    and (b) their round-trip recovers the same edge set our EdgeSet holds.
+    torch_sparse is absent; its SparseTensor is stubbed with the one dense
+    construction the reference uses."""
+    import torch
+
+    from lgcnhs_tpu.data.graph import EdgeSet, interaction_matrix
+
+    class _SparseTensor:
+        def __init__(self, row, col, sparse_sizes):
+            self._dense = torch.zeros(sparse_sizes)
+            self._dense[row, col] = 1.0
+
+        def to_dense(self):
+            return self._dense
+
+    ts = types.ModuleType("torch_sparse")
+    ts.SparseTensor = _SparseTensor
+    saved = sys.modules.get("torch_sparse")
+    sys.modules["torch_sparse"] = ts
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "utils.graph", REF_ROOT / "utils" / "graph.py"
+        )
+        ref_graph = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref_graph)
+    finally:
+        if saved is None:
+            sys.modules.pop("torch_sparse", None)
+        else:
+            sys.modules["torch_sparse"] = saved
+
+    rng = np.random.default_rng(59)
+    n_users, n_items = 11, 17
+    eu, ei = _random_interactions(rng, n_users, n_items, 70)
+    edge_index = torch.stack(
+        [torch.from_numpy(eu.astype(np.int64)), torch.from_numpy(ei.astype(np.int64))]
+    )
+
+    joint_coo = ref_graph.convertEdgeIndexToAdjMatrix(n_users, n_items, edge_index)
+    # (a) block layout: densify their COO and compare to [[0,R],[R^T,0]]
+    joint = np.zeros((n_users + n_items, n_users + n_items))
+    joint[joint_coo[0].numpy(), joint_coo[1].numpy()] = 1.0
+    R = np.asarray(interaction_matrix(n_users, n_items, EdgeSet(eu, ei)))
+    expected = np.zeros_like(joint)
+    expected[:n_users, n_users:] = R
+    expected[n_users:, :n_users] = R.T
+    np.testing.assert_array_equal(joint, expected)
+
+    # (b) their round-trip reproduces our edge set exactly
+    back = ref_graph.convertAdjMatrixToEdgeIndex(n_users, n_items, joint_coo)
+    got = set(zip(back[0].tolist(), back[1].tolist()))
+    assert got == set(zip(eu.tolist(), ei.tolist()))
+
+
 def test_novelty_matches_reference_code(reference):
     """novelty_avg_degree vs the reference's prototyped novelty metric
     (waste/metrics/novelty2.py:14-55): mean train+val degree of recommended
