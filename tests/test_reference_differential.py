@@ -348,6 +348,92 @@ def test_graph_converters_round_trip_matches_our_layout(reference):
     assert got == set(zip(eu.tolist(), ei.tolist()))
 
 
+def test_val_recommendations_match_reference_code(reference):
+    """masked_topk over layer-0 scores vs the reference's
+    getValRecommendations (model/LightGCN/evaluation.py:17-54): identical
+    top-k lists given the same embedding tables, including the -(1<<10)
+    mask sentinel and train-only exclusion. The LightGCN/BPRLoss imports in
+    that module are type hints here; they and torch_sparse/torch_geometric
+    are stubbed."""
+    import torch
+
+    from lgcnhs_tpu.data.graph import EdgeSet, pos_bool_matrix
+    from lgcnhs_tpu.ops.topk import masked_topk
+
+    class _SparseTensor:
+        def __init__(self, row, col, sparse_sizes):
+            self._dense = torch.zeros(sparse_sizes)
+            self._dense[row, col] = 1.0
+
+        def to_dense(self):
+            return self._dense
+
+    stubs = {
+        "torch_sparse": types.ModuleType("torch_sparse"),
+        "torch_geometric": types.ModuleType("torch_geometric"),
+        "torch_geometric.utils": types.ModuleType("torch_geometric.utils"),
+        "model.LightGCN": types.ModuleType("model.LightGCN"),
+        "model.LightGCN.model": types.ModuleType("model.LightGCN.model"),
+        "model.LightGCN.loss": types.ModuleType("model.LightGCN.loss"),
+    }
+    stubs["torch_sparse"].SparseTensor = _SparseTensor
+    stubs["torch_geometric"].__path__ = []
+    stubs["torch_geometric.utils"].structured_negative_sampling = (
+        lambda *a, **k: None
+    )
+    stubs["model.LightGCN"].__path__ = []
+    stubs["model.LightGCN.model"].LightGCN = object
+    stubs["model.LightGCN.loss"].BPRLoss = lambda *a, **k: None
+    saved = {n: sys.modules.get(n) for n in stubs}
+    sys.modules.update(stubs)
+    try:
+        for name, rel in (
+            ("utils.graph", "utils/graph.py"),
+            ("model.LightGCN.evaluation", "model/LightGCN/evaluation.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(name, REF_ROOT / rel)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        ref_eval = sys.modules["model.LightGCN.evaluation"]
+
+        rng = np.random.default_rng(61)
+        n_users, n_items, k = 10, 30, 5
+        eu, ei = _random_interactions(rng, n_users, n_items, 90)
+        ue = rng.standard_normal((n_users, 8)).astype(np.float32)
+        ie = rng.standard_normal((n_items, 8)).astype(np.float32)
+
+        fake_model = SimpleNamespace(
+            users_emb=SimpleNamespace(weight=torch.from_numpy(ue)),
+            items_emb=SimpleNamespace(weight=torch.from_numpy(ie)),
+        )
+        # the reference passes TRAIN and VAL adjacencies as joint COO; the
+        # val one is converted then unused (evaluation.py:38-39)
+        def joint_coo(u, i):
+            j = np.stack([u.astype(np.int64), i.astype(np.int64) + n_users])
+            return torch.from_numpy(np.concatenate([j, j[::-1]], axis=1))
+
+        ref_rec = ref_eval.getValRecommendations(
+            fake_model, n_users, n_items,
+            joint_coo(eu, ei), joint_coo(eu[:3], ei[:3]), k,
+        ).numpy()
+    finally:
+        sys.modules.pop("utils.graph", None)
+        sys.modules.pop("model.LightGCN.evaluation", None)
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    import jax.numpy as jnp
+
+    scores = jnp.dot(jnp.asarray(ue), jnp.asarray(ie).T)
+    seen = pos_bool_matrix(n_users, n_items, EdgeSet(eu, ei))
+    ours = np.asarray(masked_topk(scores, jnp.asarray(seen), k))
+    np.testing.assert_array_equal(ours, ref_rec)
+
+
 def test_novelty_matches_reference_code(reference):
     """novelty_avg_degree vs the reference's prototyped novelty metric
     (waste/metrics/novelty2.py:14-55): mean train+val degree of recommended
