@@ -434,6 +434,33 @@ def test_val_recommendations_match_reference_code(reference):
     np.testing.assert_array_equal(ours, ref_rec)
 
 
+def test_item_degrees_match_reference_trans(reference):
+    """item_degrees vs getItemDegreeByUserPosItemDict over train+val pos
+    dicts (utils/trans.py:94-116) — duplicate interactions count twice, a
+    semantic the internal-similarity metric depends on."""
+    from lgcnhs_tpu.data.graph import EdgeSet, item_degrees
+
+    rng = np.random.default_rng(67)
+    n_items = 20
+    # raw (non-unique) edges so duplicate rows exercise double counting
+    tr_u = rng.integers(0, 8, 60).astype(np.int32)
+    tr_i = rng.integers(0, n_items, 60).astype(np.int32)
+    va_u = rng.integers(0, 8, 25).astype(np.int32)
+    va_i = rng.integers(0, n_items, 25).astype(np.int32)
+
+    train_dict = reference.trans.getUserItemsDictByDataframe(
+        pd.DataFrame({"user_id": tr_u, "item_id": tr_i})
+    )
+    val_dict = reference.trans.getUserItemsDictByDataframe(
+        pd.DataFrame({"user_id": va_u, "item_id": va_i})
+    )
+    ref_deg = reference.trans.getItemDegreeByUserPosItemDict(train_dict, val_dict)
+
+    ours = item_degrees(n_items, EdgeSet(tr_u, tr_i), EdgeSet(va_u, va_i))
+    for iid in range(n_items):
+        assert int(ours[iid]) == ref_deg.get(iid, 0), iid
+
+
 def test_novelty_matches_reference_code(reference):
     """novelty_avg_degree vs the reference's prototyped novelty metric
     (waste/metrics/novelty2.py:14-55): mean train+val degree of recommended
