@@ -69,14 +69,19 @@ def douban_item_features(
     mins = pd.to_numeric(items["MINS"], errors="coerce").fillna(0.0)
     mean_mins = mins.replace(0.0, np.nan).mean()
     mins = mins.replace(0.0, mean_mins if pd.notna(mean_mins) else 90.0)
+    # the reference buckets the (fractional) mean-imputed FLOAT directly
+    # (handleDouban.py:108-110: durationMap(mins) on the float column)
     duration_oh = np.stack(
-        [one_hot(duration_bucket(int(m)), N_DURATION_BUCKETS) for m in mins]
+        [one_hot(duration_bucket(float(m)), N_DURATION_BUCKETS) for m in mins]
     ).astype(np.float32)
 
     years = pd.to_numeric(items["YEAR"], errors="coerce").fillna(0).astype(int)
-    # missing years -> bucket 0, like the reference's yearMap("nan")
+    # missing years: the reference's Douban path does fillna(0) then
+    # yearMap(0) -> bucket 1 (int(0) < 1970, handleDouban.py:112-113);
+    # the yearMap("nan") -> 0 sentinel only fires on MovieLens, whose
+    # astype(str) yields the literal string "nan" (handleMovielens.py)
     year_oh = np.stack(
-        [one_hot(year_bucket(y) if y > 0 else 0, N_YEAR_BUCKETS) for y in years]
+        [one_hot(year_bucket(y), N_YEAR_BUCKETS) for y in years]
     ).astype(np.float32)
 
     name_emb = text_embeddings(items["NAME"].astype(str).tolist(), title_dim)

@@ -90,26 +90,85 @@ def one_hot(index: int, size: int) -> List[int]:
 
 # ---- text preprocessing (handleFeature.py:167-203) ----
 
-_PUNCT_DIGITS = str.maketrans("", "", string.punctuation + string.digits)
-_STOPWORDS = frozenset(
-    """a an the and or but if while is are was were be been being to of in on
-    for with at by from as this that these those it its he she they them his
-    her their we you i me my our your not no do does did done have has had
-    having will would can could shall should may might must about into over
-    under again further then once here there all any both each few more most
-    other some such only own same so than too very s t don now""".split()
+# The canonical NLTK English stopword list (corpora/stopwords/english).
+# Embedded because this image ships the nltk *library* but not its corpus
+# data and has no egress; the list is a fixed public constant, so embedding
+# it gives exact parity with the reference's
+# ``set(stopwords.words("english"))`` (``handleFeature.py:199-200``)
+# whether or not the corpus download exists.
+_NLTK_ENGLISH_STOPWORDS = frozenset(
+    """i me my myself we our ours ourselves you you're you've you'll you'd
+    your yours yourself yourselves he him his himself she she's her hers
+    herself it it's its itself they them their theirs themselves what which
+    who whom this that that'll these those am is are was were be been being
+    have has had having do does did doing a an the and but if or because as
+    until while of at by for with about against between into through during
+    before after above below to from up down in out on off over under again
+    further then once here there when where why how all any both each few
+    more most other some such no nor not only own same so than too very s t
+    can will just don don't should should've now d ll m o re ve y ain aren
+    aren't couldn couldn't didn didn't doesn doesn't hadn hadn't hasn hasn't
+    haven haven't isn isn't ma mightn mightn't mustn mustn't needn needn't
+    shan shan't shouldn shouldn't wasn wasn't weren weren't won won't wouldn
+    wouldn't""".split()
 )
 
 
+def _english_stopwords() -> frozenset:
+    """nltk's live list when its corpus data exists, else the embedded copy
+    (they are identical; preferring the live one keeps us honest if nltk
+    ever revises the list)."""
+    try:
+        from nltk.corpus import stopwords  # type: ignore
+
+        return frozenset(stopwords.words("english"))
+    except Exception:
+        return _NLTK_ENGLISH_STOPWORDS
+
+
+def _wordnet_lemmatize():
+    """The reference WordNet-lemmatizes every token
+    (``handleFeature.py:190-195``). Lemmatization needs the wordnet corpus
+    data, which this image lacks (library installed, corpora absent, no
+    egress) — the reference itself would raise LookupError here. Returns the
+    real lemmatizer when the corpus is available, identity otherwise."""
+    try:
+        from nltk.stem import WordNetLemmatizer  # type: ignore
+
+        lem = WordNetLemmatizer()
+        lem.lemmatize("cats")  # force the lazy corpus load now
+        return lem.lemmatize
+    except Exception:
+        return lambda w: w
+
+
+_LEMMATIZE = None
+_STOPWORDS: frozenset = frozenset()
+_PUNCT_DIGITS = str.maketrans("", "", string.punctuation + string.digits)
+
+
 def preprocess_text(text: str) -> List[str]:
-    """Strip punctuation/digits -> lowercase -> tokenize -> stopword removal
-    (reference also jieba-segments Chinese and WordNet-lemmatizes,
-    ``handleFeature.py:167-203``; lemmatization is skipped in the fallback —
-    hash embeddings are insensitive to it)."""
-    if not isinstance(text, str):
-        return []
-    text = text.translate(_PUNCT_DIGITS).lower()
-    tokens = re.findall(r"[\w一-鿿]+", text)
+    """Reference ``preprocessText`` (``handleFeature.py:167-203``) exactly:
+    ``str(text)`` -> strip ``[^\\w\\s]`` -> strip ``\\d+`` -> lowercase ->
+    ``jieba.lcut`` (segments Chinese, whitespace-splits English) -> drop
+    whitespace tokens -> WordNet lemmatization (identity when the wordnet
+    corpus is unavailable, see ``_wordnet_lemmatize``) -> remove NLTK English
+    stopwords. Regex word-splitting replaces jieba only if jieba is absent."""
+    global _LEMMATIZE, _STOPWORDS
+    text = str(text)  # reference casts unconditionally (NaN -> "nan")
+    text = re.sub(r"[^\w\s]", "", text)
+    text = re.sub(r"\d+", "", text)
+    text = text.lower()
+    try:
+        import jieba  # type: ignore
+
+        tokens = [t for t in jieba.lcut(text) if t.strip() != ""]
+    except ImportError:
+        tokens = re.findall(r"[\w]+", text)
+    if _LEMMATIZE is None:
+        _LEMMATIZE = _wordnet_lemmatize()
+        _STOPWORDS = _english_stopwords()
+    tokens = [_LEMMATIZE(t) for t in tokens]
     return [t for t in tokens if t not in _STOPWORDS]
 
 

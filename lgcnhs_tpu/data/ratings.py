@@ -118,8 +118,33 @@ def prepare_ratings(
             train.to_csv(os.path.join(save_path, "train_data.csv"), index=False)
             val.to_csv(os.path.join(save_path, "val_data.csv"), index=False)
             test.to_csv(os.path.join(save_path, "test_data.csv"), index=False)
+            # persist the raw->dense id mappings beside the split CSVs so a
+            # warm-cache run can still decode internal ids (the reference
+            # recomputes mappings on every run, handleData.py:70-77; we load
+            # the CSVs instead, which would otherwise lose the mappings)
+            _save_id_mappings(save_path, uid_mapping, iid_mapping)
 
     return RatingSplits(filtered, train, val, test, uid_mapping, iid_mapping)
+
+
+def _save_id_mappings(save_path: str, uid_mapping: Dict, iid_mapping: Dict) -> None:
+    """The mappings are {raw_id -> dense_id} with dense ids 0..N-1 assigned in
+    sorted-raw order, so the sorted raw-class arrays are a complete encoding."""
+    np.savez(
+        os.path.join(save_path, "id_mappings.npz"),
+        uid_classes=np.asarray(list(uid_mapping.keys())),
+        iid_classes=np.asarray(list(iid_mapping.keys())),
+    )
+
+
+def _load_id_mappings(save_path: str) -> tuple[Dict, Dict]:
+    path = os.path.join(save_path, "id_mappings.npz")
+    if not os.path.exists(path):
+        return {}, {}
+    with np.load(path, allow_pickle=False) as data:
+        uid = {k: i for i, k in enumerate(data["uid_classes"].tolist())}
+        iid = {k: i for i, k in enumerate(data["iid_classes"].tolist())}
+    return uid, iid
 
 
 def load_cached_splits(save_path: str) -> Optional[RatingSplits]:
@@ -131,11 +156,12 @@ def load_cached_splits(save_path: str) -> Optional[RatingSplits]:
     if not all(os.path.exists(p) for p in paths.values()):
         return None
     rating = pd.read_csv(paths["filter_rating"])
+    uid_mapping, iid_mapping = _load_id_mappings(save_path)
     return RatingSplits(
         rating,
         pd.read_csv(paths["train_data"]),
         pd.read_csv(paths["val_data"]),
         pd.read_csv(paths["test_data"]),
-        {},
-        {},
+        uid_mapping,
+        iid_mapping,
     )

@@ -10,6 +10,7 @@ output opens in Excel/LibreOffice and reads back with any OOXML parser.
 """
 from __future__ import annotations
 
+import math
 import zipfile
 from typing import Dict, Sequence
 from xml.sax.saxutils import escape
@@ -35,7 +36,11 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):  # bool is an int subclass; keep it textual
         return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
     if isinstance(value, (int, float)):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+        # OOXML numeric cells reject nan/inf; write them as inline strings
+        # (metric frames can hold NaN, e.g. F1 with zero hits)
+        if math.isfinite(value):
+            return f'<c r="{ref}"><v>{value!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
     return (
         f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(value))}</t></is></c>'
     )

@@ -144,3 +144,37 @@ def test_douban_ingestion(tmp_path):
     assert itf.shape[0] == splits.n_items
     assert itf.shape[1] >= 3 + 1 + 1 + 6 + 20 + 1 + 7
     assert np.isfinite(itf).all()
+
+
+def test_douban_missing_year_and_fractional_duration():
+    """ADVICE round-1 regression: missing YEAR -> fillna(0) -> yearMap(0) ->
+    bucket 1 (handleDouban.py:112-113), and durationMap is applied to the
+    FLOAT mean-imputed duration (handleDouban.py:108-110), not a truncation."""
+    from lgcnhs_tpu.data.douban import douban_item_features
+    from lgcnhs_tpu.data.features import duration_bucket
+
+    items = pd.DataFrame(
+        {
+            "MOVIE_ID": [1, 2, 3],
+            "NAME": ["a film", "b film", "c film"],
+            "GENRES": ["剧情", "喜剧", "动作"],
+            "LANGUAGES": ["英语"] * 3,
+            "REGIONS": ["美国"] * 3,
+            # nonzero mean = 90.5: float buckets to (90,120] (index 3), an
+            # int() truncation would bucket 90 into (60,90] (index 2)
+            "MINS": [0.0, 90.0, 91.0],
+            "YEAR": [np.nan, 1995, 2011],
+            "STORYLINE": ["s"] * 3,
+        }
+    )
+    _, feats = douban_item_features(items, title_dim=3, content_dim=20)
+    # layout: name(3) + genres(3) + langs(1) + duration(6) + story(20) +
+    # regions(1) + year(7)
+    year_oh = feats[:, -7:]
+    assert year_oh[0].argmax() == 1 and year_oh[0].sum() == 1
+    assert year_oh[1].argmax() == 4  # 1995 in [1990, 2000)
+    assert year_oh[2].argmax() == 6  # >= 2010
+    dur_oh = feats[:, 3 + 3 + 1 : 3 + 3 + 1 + 6]
+    assert duration_bucket(90.5) == 3
+    assert dur_oh[0].argmax() == 3  # imputed float mean 90.5
+    assert dur_oh[1].argmax() == 2  # true 90 stays (60,90]
