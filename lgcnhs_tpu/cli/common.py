@@ -27,6 +27,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument(
         "--interactions", type=int, default=None, help="synthetic interaction count"
     )
+    p.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATA,MODEL",
+        help='device mesh shape, e.g. "2,4", or "auto" to use every local '
+        "device on the model axis (tables row-sharded, catalog item-sharded, "
+        "distributed top-k; default single device)",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -93,6 +101,14 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["synthetic_items"] = args.items
     if args.interactions is not None:
         overrides["synthetic_interactions"] = args.interactions
+    if getattr(args, "mesh", None) is not None:
+        if args.mesh == "auto":
+            overrides["compute.mesh_shape"] = (0, 0)  # all local devices
+        else:
+            parts = tuple(int(x) for x in args.mesh.split(","))
+            if len(parts) != 2 or any(p < 1 for p in parts):
+                raise SystemExit(f"--mesh expects DATA,MODEL (got {args.mesh!r})")
+            overrides["compute.mesh_shape"] = parts
     cfg = load_config(
         env=args.env,
         dataset=args.dataset,

@@ -113,21 +113,93 @@ def _serve_unfused(ue, ie, A, W, seen, k):
     return jax.lax.top_k(fused, k)[1]
 
 
+def distributed_fused_recommend(
+    mesh,
+    params: LightGCNParams,
+    A: jnp.ndarray,  # (U, I) train+val interaction matrix
+    seen: jnp.ndarray,  # (U, I) bool
+    lam: jnp.ndarray,
+    k: int,
+) -> jnp.ndarray:
+    """Item-block-sharded LGCNHS serving (SURVEY.md section 2.9): G computed
+    column-sharded, the two diffusion passes as collective matmuls over the
+    model axis (the I x I operator never lives on one device), and F_new
+    ranked with the exact distributed spread ranker
+    (``parallel.sharding.distributed_rank_exclude_seen``)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lgcnhs_tpu.parallel.sharding import _pad_len, distributed_rank_exclude_seen
+    from lgcnhs_tpu.runtime.mesh import MODEL_AXIS
+
+    # Catalogs rarely divide the model axis (ML-100K: 1682 items): pad the
+    # item axis with zero-interaction columns. Degree vectors of real items
+    # are unchanged (padding only adds zeros to the sums), padded columns get
+    # seen=True and an explicit -inf fused score so they rank strictly last
+    # and can never be emitted for k <= I.
+    n_items = A.shape[1]
+    I_pad = _pad_len(n_items, mesh.shape[MODEL_AXIS])
+    if I_pad != n_items:
+        pad_cols = ((0, 0), (0, I_pad - n_items))
+        A = jnp.pad(A, pad_cols)
+        seen = jnp.pad(seen, pad_cols, constant_values=True)
+        params = LightGCNParams(
+            params.user_emb,
+            jnp.pad(jnp.asarray(params.item_emb), ((0, I_pad - n_items), (0, 0))),
+        )
+
+    item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
+    A = jax.device_put(A, item_cols)
+    seen = jax.device_put(seen, item_cols)
+
+    @partial(jax.jit, static_argnames=("n_real",))
+    def scores(params, A, seen, lam, n_real):
+        G = allocate_matrix(params, seen)
+        W_gen = general_spreading_matrix(A)
+        W_gen = jax.lax.with_sharding_constraint(W_gen, item_cols)
+        F = hybrid_resource(A, W_gen, lam)
+        F = jax.lax.with_sharding_constraint(F, item_cols)
+        fused = G * F
+        if A.shape[1] != n_real:
+            fused = jnp.where(
+                jnp.arange(A.shape[1])[None, :] < n_real, fused, -jnp.inf
+            )
+        return jax.lax.with_sharding_constraint(fused, item_cols)
+
+    return distributed_rank_exclude_seen(
+        mesh, scores(params, A, seen, lam, n_items), seen, k
+    )
+
+
 def recommend_fused(
     graph: InteractionGraph,
     cfg: Config,
     params: LightGCNParams,
 ) -> np.ndarray:
-    """(U, k) recommendations for SpreadLightGCN[Opti]."""
+    """(U, k) recommendations for SpreadLightGCN[Opti]; runs the item-sharded
+    multi-chip path when ``ComputeConfig.mesh_shape`` configures a mesh."""
+    from lgcnhs_tpu.runtime.mesh import mesh_from_config
+
     log = get_logger()
+    mesh = mesh_from_config(cfg.compute)
     with stage_timer(f"{cfg.model} fused recommendation done", log):
         A = interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
         seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
-        rec = fused_recommend(
-            params,
-            jnp.asarray(A),
-            jnp.asarray(seen),
-            jnp.asarray(cfg.hparams.lambda_, A.dtype),
-            cfg.k,
-        )
+        if mesh is not None:
+            rec = distributed_fused_recommend(
+                mesh,
+                params,
+                jnp.asarray(A),
+                jnp.asarray(seen),
+                jnp.asarray(cfg.hparams.lambda_, A.dtype),
+                cfg.k,
+            )
+        else:
+            rec = fused_recommend(
+                params,
+                jnp.asarray(A),
+                jnp.asarray(seen),
+                jnp.asarray(cfg.hparams.lambda_, A.dtype),
+                cfg.k,
+            )
     return np.asarray(rec)

@@ -59,8 +59,23 @@ def recommend_gcn(
 ) -> np.ndarray:
     """LightGCN[Opti] final recommendations: layer-0 scores, train AND val
     positives masked to -1024, top-k
-    (``model/LightGCN/recommend.py:68-125``)."""
+    (``model/LightGCN/recommend.py:68-125``). With a configured mesh the
+    catalog is item-sharded and ranked by the distributed top-k merge."""
+    from lgcnhs_tpu.runtime.mesh import mesh_from_config
+
     seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    mesh = mesh_from_config(cfg.compute)
+    if mesh is not None:
+        from lgcnhs_tpu.parallel.sharding import distributed_retrieve_topk
+
+        rec = distributed_retrieve_topk(
+            mesh,
+            jnp.asarray(params.user_emb),
+            jnp.asarray(params.item_emb),
+            jnp.asarray(seen),
+            cfg.k,
+        )
+        return np.asarray(rec)
     rec = retrieve_topk(params.user_emb, params.item_emb, jnp.asarray(seen), cfg.k)
     return np.asarray(rec)
 

@@ -76,11 +76,16 @@ def padded_catalog(plan: ShardingPlan, n_users: int, n_items: int) -> tuple[int,
     return _pad_len(n_users, n_model), _pad_len(n_items, n_model)
 
 
-def shard_train_inputs(plan: ShardingPlan, R_hat, pos_mask, edge_users, edge_items):
+def shard_train_inputs(plan: ShardingPlan, R_hat, pos_mask, edge_users, edge_items,
+                       r_dtype=None):
     """Pad the catalog axes to the model-axis size (see ``padded_catalog``)
-    and the edge list to the data-axis size, then device_put everything with
-    its sharding. Edge padding repeats edge 0 — harmless for sampling
-    (uniform with replacement already)."""
+    and device_put everything with its sharding. Edge lists are REPLICATED at
+    their true length: padding them would change the sampling modulus and
+    break the exact single-device sample stream (the minibatch itself is
+    data-sharded inside the step via a sharding constraint), and at ~8 bytes
+    per interaction they are negligible next to the (U, I) operands.
+    ``r_dtype`` optionally casts R_hat (e.g. bf16 for the mixed-precision
+    matmul path) AFTER padding."""
     U, I = R_hat.shape
     U_pad, I_pad = padded_catalog(plan, U, I)
     if (U_pad, I_pad) != (U, I):
@@ -89,18 +94,14 @@ def shard_train_inputs(plan: ShardingPlan, R_hat, pos_mask, edge_users, edge_ite
             np.asarray(pos_mask), ((0, U_pad - U), (0, I_pad - I)),
             constant_values=True,
         )
-    n_data = plan.mesh.shape[DATA_AXIS]
-    E = edge_users.shape[0]
-    target = _pad_len(E, n_data)
-    if target != E:
-        pad = target - E
-        edge_users = np.concatenate([edge_users, edge_users[:pad]])
-        edge_items = np.concatenate([edge_items, edge_items[:pad]])
+    R_hat = jnp.asarray(R_hat)
+    if r_dtype is not None:
+        R_hat = R_hat.astype(r_dtype)
     return (
-        jax.device_put(jnp.asarray(R_hat), plan.r_hat),
+        jax.device_put(R_hat, plan.r_hat),
         jax.device_put(jnp.asarray(pos_mask), plan.pos_mask),
-        jax.device_put(jnp.asarray(edge_users), plan.edges),
-        jax.device_put(jnp.asarray(edge_items), plan.edges),
+        jax.device_put(jnp.asarray(edge_users), plan.replicated),
+        jax.device_put(jnp.asarray(edge_items), plan.replicated),
     )
 
 
@@ -134,14 +135,18 @@ def unpad_params(params: LightGCNParams, n_users: int, n_items: int) -> LightGCN
     )
 
 
-def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
+def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int,
+                            bf16_matmul: bool = False):
     """The single-chip train step, compiled against sharded inputs. GSPMD
     turns the bipartite matmuls into collective matmuls over the model axis
-    and the batch gathers into all-to-all-style exchanges."""
+    and the batch gathers into all-to-all-style exchanges. The sampled
+    minibatch is constrained onto the data axis so the per-example loss math
+    runs data-parallel."""
+    batch_sharding = NamedSharding(plan.mesh, P(DATA_AXIS))
 
     def _loss(params, R_hat, users, pos_items, neg_items):
         u_final, i_final = lightgcn_propagate(
-            params.user_emb, params.item_emb, R_hat, hp.layers
+            params.user_emb, params.item_emb, R_hat, hp.layers, bf16_matmul
         )
         return bpr_loss(
             u_final[users],
@@ -158,6 +163,10 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
         users, pos_items, neg_items = sample_bpr_batch(
             key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
         )
+        users, pos_items, neg_items = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+            (users, pos_items, neg_items),
+        )
         loss, grads = jax.value_and_grad(_loss)(
             params, R_hat, users, pos_items, neg_items
         )
@@ -168,13 +177,14 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int):
     return step
 
 
-def make_sharded_train_scan(plan: ShardingPlan, optimizer, hp, n_items: int):
+def make_sharded_train_scan(plan: ShardingPlan, optimizer, hp, n_items: int,
+                            bf16_matmul: bool = False):
     """Sharded flavor of ``train.trainer.make_train_scan``: every epoch
     between eval boundaries as one jitted ``lax.scan`` over the sharded step,
     with the identical ``fold_in(base_key, epoch)`` stream — so multi-chip
     chunked training reproduces the per-dispatch sequence exactly while
     paying the host dispatch (and any DCN launch latency) once per chunk."""
-    step_once = make_sharded_train_step(plan, optimizer, hp, n_items)
+    step_once = make_sharded_train_step(plan, optimizer, hp, n_items, bf16_matmul)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
     def train_scan(params, opt_state, base_key, epoch0, n_steps,
@@ -260,6 +270,71 @@ def distributed_retrieve_topk(
         return jnp.take_along_axis(idx, sel, axis=1)
 
     return merge(vals, idx)
+
+
+def distributed_rank_exclude_seen(
+    mesh: Mesh,
+    scores: jnp.ndarray,  # (U, I)
+    seen: jnp.ndarray,  # (U, I) bool
+    k: int,
+    filter_seen: bool = True,
+) -> jnp.ndarray:
+    """Distributed flavor of ``ops.topk.rank_exclude_seen`` (the spread/fusion
+    ranker). The single-device ranker's order is exactly the lexicographic
+    total order (seen ASC, score DESC, index DESC): reversed-stable argsort
+    gives (score DESC, index DESC) and the stable unseen-first partition
+    prepends the seen key. A global top-k under a total order equals the
+    merge of per-shard top-k's under the same order, so: each item shard
+    ranks its block with the single-device kernel, the n_shards*k candidates
+    are all-gathered, and one lexsort under the same key picks the final k —
+    bit-identical item ids to the single-device ranker on the full catalog.
+
+    Padded columns (catalogs not dividing the model axis) enter as
+    seen=True with -inf scores: strictly last within the seen group, so they
+    can never be emitted for k <= I. With ``filter_seen=False`` (the
+    ProbS-on-movielens quirk, ``model/SpreadMethod/recommend.py:48-50``) the
+    order drops the seen key and -inf padding still ranks last.
+    """
+    from lgcnhs_tpu.ops.topk import rank_exclude_seen
+
+    n_shards = mesh.shape[MODEL_AXIS]
+    n_items = scores.shape[1]
+    n_pad = _pad_len(n_items, n_shards)
+    item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
+    if n_pad != n_items:
+        pad_cols = ((0, 0), (0, n_pad - n_items))
+        scores = jnp.pad(scores, pad_cols, constant_values=-jnp.inf)
+        seen = jnp.pad(seen, pad_cols, constant_values=True)
+    scores = jax.device_put(scores, item_cols)
+    seen = jax.device_put(seen, item_cols)
+    block = n_pad // n_shards
+    if k > block:
+        raise ValueError(f"k={k} exceeds shard width {block}")
+
+    def local(scores_blk, seen_blk):
+        order = rank_exclude_seen(scores_blk, seen_blk, k, filter_seen)
+        base = jax.lax.axis_index(MODEL_AXIS) * block
+        vals = jnp.take_along_axis(scores_blk, order, axis=1)
+        sel_seen = jnp.take_along_axis(seen_blk, order, axis=1)
+        return vals, order + base, sel_seen
+
+    vals, idx, sel_seen = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
+        out_specs=(P(None, MODEL_AXIS),) * 3,
+        check_vma=False,
+    )(scores, seen)
+
+    @partial(jax.jit, static_argnames=("filter_seen",))
+    def merge(vals, idx, sel_seen, filter_seen):
+        # np.lexsort key order: LAST key is primary; ascending throughout,
+        # so negate for DESC. Total order: (seen ASC, score DESC, index DESC).
+        keys = (-idx, -vals) + ((sel_seen,) if filter_seen else ())
+        perm = jnp.lexsort(keys, axis=1)
+        return jnp.take_along_axis(idx, perm[:, :k], axis=1)
+
+    return merge(vals, idx, sel_seen, filter_seen)
 
 
 def sharded_diffusion_scores(

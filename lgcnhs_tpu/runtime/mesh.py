@@ -71,6 +71,23 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_from_config(compute) -> Optional[Mesh]:
+    """The product mesh the flagship path trains/serves on, from
+    ``ComputeConfig.mesh_shape``: ``(1, 1)`` (the default) means single
+    device and returns None; ``(0, 0)`` means "auto" — all local devices on
+    the model axis; anything else is used verbatim. This is what makes the
+    reference's hardcoded single device (``model/LightGCN/train.py:87``) a
+    config knob instead."""
+    shape = tuple(compute.mesh_shape)
+    if shape == (1, 1):
+        return None
+    if shape == (0, 0):
+        shape = (1, len(jax.devices()))
+        if shape[1] == 1:
+            return None
+    return make_mesh(shape)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -288,7 +288,118 @@ def train_lightgcn(
     propagation = choose_propagation(U, I, graph.train.n_edges, cfg.compute)
     _bf16 = cfg.compute.dtype == "bfloat16"
     _pallas = cfg.compute.use_pallas and jax.default_backend() == "tpu"
-    if propagation == "dense":
+
+    # ---- multi-chip flagship path (ComputeConfig.mesh_shape) ----
+    # The reference trains on one hardcoded device (model/LightGCN/train.py:87).
+    # With a mesh configured, THIS function (not a side harness) runs the
+    # sharded step/scan over row-sharded tables, the distributed top-k eval,
+    # and sharded optimizer state.
+    mesh = None
+    if tuple(cfg.compute.mesh_shape) != (1, 1):
+        from lgcnhs_tpu.runtime.mesh import mesh_from_config
+
+        if propagation == "dense":
+            mesh = mesh_from_config(cfg.compute)
+            if mesh is not None:
+                log.info(
+                    "training %s on mesh %s", model_name,
+                    dict(zip(mesh.axis_names, mesh.devices.shape)),
+                )
+        else:
+            log.warning(
+                "mesh_shape %s requested but the graph picked the COO "
+                "propagation path; training single-device",
+                cfg.compute.mesh_shape,
+            )
+
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+
+    # eval-side tensors shared by every path (true, unpadded shapes)
+    val_edge_users = jnp.asarray(graph.val.users)
+    val_edge_items = jnp.asarray(graph.val.items)
+    val_counts = jnp.asarray(user_pos_counts(U, graph.val))
+    val_present = jnp.asarray(users_present(U, graph.val))
+    train_deg = jnp.asarray(item_degrees(I, graph.train))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lgcnhs_tpu.parallel.sharding import (
+            distributed_masked_topk,
+            make_plan,
+            make_sharded_train_scan,
+            make_sharded_train_step,
+            padded_catalog,
+            shard_params,
+            shard_train_inputs,
+            unpad_params,
+        )
+        from lgcnhs_tpu.runtime.mesh import MODEL_AXIS
+
+        plan = make_plan(mesh)
+        U_pad, I_pad = padded_catalog(plan, U, I)
+        # training tensors: incidence/positives item-sharded (padded), edges
+        # replicated at true length (exact single-device sample stream)
+        R_hat, train_pos, edge_users, edge_items = shard_train_inputs(
+            plan,
+            normalized_bipartite(U, I, graph.train),
+            pos_bool_matrix(U, I, graph.train),
+            graph.train.users,
+            graph.train.items,
+            r_dtype=jnp.bfloat16 if _bf16 else dtype,
+        )
+        params = shard_params(plan, params)
+        opt_state = optimizer.init(params)  # sharded like the tables
+
+        item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
+        R_val_np = np.zeros((U_pad, I_pad), np.float32)
+        R_val_np[:U, :I] = normalized_bipartite(U, I, graph.val)
+        R_hat_val = jax.device_put(jnp.asarray(R_val_np, dtype), item_cols)
+        # eval matrices item-padded to I_pad columns (False/0 padding is
+        # inert: rec ids are always < I because padded columns enter the
+        # distributed top-k as seen=True)
+        val_pos_np = np.zeros((U, I_pad), bool)
+        val_pos_np[:, :I] = pos_bool_matrix(U, I, graph.val)
+        val_pos = jax.device_put(jnp.asarray(val_pos_np), item_cols)
+        ti_np = np.zeros((U, I_pad), np.float32)
+        ti_np[:, :I] = interaction_matrix(U, I, graph.train)
+        train_interaction = jax.device_put(jnp.asarray(ti_np), item_cols)
+        train_deg_pad = jnp.asarray(
+            np.pad(np.asarray(item_degrees(I, graph.train)), (0, I_pad - I))
+        )
+
+        train_step = make_sharded_train_step(plan, optimizer, hp, I, bf16_matmul=_bf16)
+        train_scan = make_sharded_train_scan(plan, optimizer, hp, I, bf16_matmul=_bf16)
+        step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
+
+        scores_fn = jax.jit(
+            lambda p: jnp.dot(
+                p.user_emb,
+                p.item_emb.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=p.user_emb.dtype,
+            ),
+            out_shardings=item_cols,
+        )
+
+        def eval_fn(params):
+            # layer-0 scores stay item-sharded; recommendations via the
+            # explicit two-phase distributed top-k (padded ids unreachable:
+            # padded columns carry seen=True); the metric kernels consume the
+            # item-sharded eval arrays under GSPMD
+            rec = distributed_masked_topk(mesh, scores_fn(params), train_pos, cfg.k)[:U]
+            p, r = metrics_ops.precision_recall(rec, val_pos, val_counts, val_present)
+            n = metrics_ops.ndcg_at_k(rec, val_pos, val_present)
+            h = metrics_ops.hamming_distance(rec, I)
+            i = metrics_ops.internal_similarity(rec, train_interaction, train_deg_pad)
+            return p, r, n, h, i
+
+        def finalize(params):
+            return unpad_params(params, U, I)
+
+    elif propagation == "dense":
         from lgcnhs_tpu.data.graph import binary_incidence_factors
         from lgcnhs_tpu.ops.pallas.propagation import fits_vmem_binary
 
@@ -308,35 +419,39 @@ def train_lightgcn(
         from lgcnhs_tpu.ops.propagation import edge_gcn_norm
 
         log.info("graph too large/sparse to densify: segment-sum propagation")
-    R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
-    edge_users = jnp.asarray(graph.train.users)
-    edge_items = jnp.asarray(graph.train.items)
-    val_edge_users = jnp.asarray(graph.val.users)
-    val_edge_items = jnp.asarray(graph.val.items)
-    train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
-    val_pos = jnp.asarray(pos_bool_matrix(U, I, graph.val))
-    val_counts = jnp.asarray(user_pos_counts(U, graph.val))
-    val_present = jnp.asarray(users_present(U, graph.val))
-    train_interaction = jnp.asarray(interaction_matrix(U, I, graph.train))
-    train_deg = jnp.asarray(item_degrees(I, graph.train))
 
-    optimizer = optax.inject_hyperparams(optax.adam)(
-        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
-    )
-    opt_state = optimizer.init(params)
-    if propagation == "dense":
-        train_step = make_train_step(
-            optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
-        )
-        train_scan = make_train_scan(
-            optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
-        )
-        step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
-    else:
-        edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
-        train_step = make_coo_train_step(optimizer, hp, U, I)
-        train_scan = None  # huge-graph path: step time dwarfs dispatch
-        step_args = lambda: (edge_users, edge_items, edge_norm, train_pos)
+    if mesh is None:
+        R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
+        edge_users = jnp.asarray(graph.train.users)
+        edge_items = jnp.asarray(graph.train.items)
+        train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
+        val_pos = jnp.asarray(pos_bool_matrix(U, I, graph.val))
+        train_interaction = jnp.asarray(interaction_matrix(U, I, graph.train))
+        opt_state = optimizer.init(params)
+
+        def eval_fn(params):
+            _, p, r, n, h, i = _val_eval(
+                params, train_pos, val_pos, val_counts, val_present,
+                train_interaction, train_deg, cfg.k, I,
+            )
+            return p, r, n, h, i
+
+        def finalize(params):
+            return LightGCNParams(*jax.tree.map(jax.device_get, params))
+
+        if propagation == "dense":
+            train_step = make_train_step(
+                optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+            )
+            train_scan = make_train_scan(
+                optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+            )
+            step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
+        else:
+            edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+            train_step = make_coo_train_step(optimizer, hp, U, I)
+            train_scan = None  # huge-graph path: step time dwarfs dispatch
+            step_args = lambda: (edge_users, edge_items, edge_norm, train_pos)
 
     start_epoch = 0
     if checkpoint_dir:
@@ -412,17 +527,7 @@ def train_lightgcn(
                 vloss = val_loss_fn(
                     params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
                 )
-                _, p, r, n, h, i = _val_eval(
-                    params,
-                    train_pos,
-                    val_pos,
-                    val_counts,
-                    val_present,
-                    train_interaction,
-                    train_deg,
-                    cfg.k,
-                    I,
-                )
+                p, r, n, h, i = eval_fn(params)
                 tl = round(float(loss), 5)
                 vl = round(float(vloss), 5)
                 p, r, n = round(float(p), 5), round(float(r), 5), round(float(n), 5)
@@ -446,8 +551,7 @@ def train_lightgcn(
                 )
             epoch += 1
 
-    params = jax.tree.map(lambda x: jax.device_get(x), params)
-    params = LightGCNParams(*params)
+    params = finalize(params)
 
     if save_artifacts:
         cfg.ensure_dirs()
