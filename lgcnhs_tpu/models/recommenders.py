@@ -60,11 +60,27 @@ def recommend_gcn(
     """LightGCN[Opti] final recommendations: layer-0 scores, train AND val
     positives masked to -1024, top-k
     (``model/LightGCN/recommend.py:68-125``). With a configured mesh the
-    catalog is item-sharded and ranked by the distributed top-k merge."""
+    catalog is item-sharded and ranked by the distributed top-k merge; when
+    the (U, I) score/seen matrices would not fit (>4 GB), retrieval runs
+    chunked over users with CSR seen-masking (same masked_topk kernel, same
+    ids — ``ops/scalable.chunked_masked_topk``)."""
     from lgcnhs_tpu.runtime.mesh import mesh_from_config
 
-    seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
     mesh = mesh_from_config(cfg.compute)
+    if mesh is None and 4.0 * graph.n_users * graph.n_items > 4e9:
+        from lgcnhs_tpu.data.graph import EdgeSet
+        from lgcnhs_tpu.ops.scalable import chunked_masked_topk, user_csr
+
+        seen_edges = EdgeSet(
+            np.concatenate([graph.train.users, graph.val.users]),
+            np.concatenate([graph.train.items, graph.val.items]),
+        )
+        rowptr, cols = user_csr(graph.n_users, seen_edges)
+        return chunked_masked_topk(
+            jnp.asarray(params.user_emb), jnp.asarray(params.item_emb),
+            rowptr, cols, cfg.k,
+        )
+    seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
     if mesh is not None:
         from lgcnhs_tpu.parallel.sharding import distributed_retrieve_topk
 

@@ -31,23 +31,46 @@ def hit_matrix(rec: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def precision_recall(
-    rec: jnp.ndarray,  # (U, k) int
-    pos: jnp.ndarray,  # (U, I) bool — eval-split positives
+def precision_recall_from_hits(
+    hits: jnp.ndarray,  # (U, k) 0/1 hit matrix
     pos_counts: jnp.ndarray,  # (U,) |pos_u| row counts (duplicates included)
     present: jnp.ndarray,  # (U,) bool — users with >=1 positive in the split
 ):
     """P@k / R@k means over present users only, matching the reference's
-    iteration over the eval pos-dict keys (``metrics/accurate.py:26-42``)."""
-    hits = hit_matrix(rec, pos)
+    iteration over the eval pos-dict keys (``metrics/accurate.py:26-42``).
+    Hit-matrix form shared by the dense and large-graph (CSR) paths."""
     num_correct = jnp.sum(hits, axis=1)
     m = present.astype(jnp.float32)
     n_present = jnp.maximum(jnp.sum(m), 1.0)
-    k = rec.shape[1]
+    k = hits.shape[1]
     precision = jnp.sum(num_correct * m) / n_present / k
     safe_counts = jnp.maximum(pos_counts.astype(jnp.float32), 1.0)
     recall = jnp.sum(num_correct / safe_counts * m) / n_present
     return precision, recall
+
+
+@jax.jit
+def precision_recall(
+    rec: jnp.ndarray,  # (U, k) int
+    pos: jnp.ndarray,  # (U, I) bool — eval-split positives
+    pos_counts: jnp.ndarray,
+    present: jnp.ndarray,
+):
+    return precision_recall_from_hits(hit_matrix(rec, pos), pos_counts, present)
+
+
+@jax.jit
+def ndcg_from_hits(hits: jnp.ndarray, present: jnp.ndarray) -> jnp.ndarray:
+    """Binary-relevance NDCG with log2 discount. The reference's IDCG marks
+    all k slots relevant (label rows are always length k,
+    ``metrics/accurate.py:76-86``), so IDCG is the constant sum of discounts."""
+    k = hits.shape[1]
+    discount = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
+    dcg = jnp.sum(hits * discount[None, :], axis=1)
+    idcg = jnp.sum(discount)
+    ndcg = dcg / idcg
+    m = present.astype(jnp.float32)
+    return jnp.sum(ndcg * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 @jax.jit
@@ -56,17 +79,7 @@ def ndcg_at_k(
     pos: jnp.ndarray,
     present: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Binary-relevance NDCG with log2 discount. The reference's IDCG marks
-    all k slots relevant (label rows are always length k,
-    ``metrics/accurate.py:76-86``), so IDCG is the constant sum of discounts."""
-    k = rec.shape[1]
-    hits = hit_matrix(rec, pos)
-    discount = 1.0 / jnp.log2(jnp.arange(2, k + 2, dtype=jnp.float32))
-    dcg = jnp.sum(hits * discount[None, :], axis=1)
-    idcg = jnp.sum(discount)
-    ndcg = dcg / idcg
-    m = present.astype(jnp.float32)
-    return jnp.sum(ndcg * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return ndcg_from_hits(hit_matrix(rec, pos), present)
 
 
 @partial(jax.jit, static_argnames=("n_items",))
@@ -83,7 +96,8 @@ def hamming_distance(rec: jnp.ndarray, n_items: int) -> jnp.ndarray:
     counts = jnp.zeros(n_items, dtype=jnp.float32).at[rec.reshape(-1)].add(1.0)
     total_overlap = jnp.sum(counts * counts)
     off_diag = total_overlap - U * k
-    return 1.0 - off_diag / (U * (U - 1) * k)
+    # float denominator: U(U-1)k overflows int32 beyond ~60k users
+    return 1.0 - off_diag / (float(U) * (U - 1) * k)
 
 
 @jax.jit
@@ -113,7 +127,7 @@ def internal_similarity(
 
     quad = jnp.sum(jnp.dot(B, S, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32) * B)
     diag_term = jnp.sum(B * jnp.diagonal(S)[None, :])
-    return (quad - diag_term) / (U * k * (k - 1))
+    return (quad - diag_term) / (float(U) * k * (k - 1))
 
 
 @jax.jit

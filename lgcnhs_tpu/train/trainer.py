@@ -141,8 +141,12 @@ def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str
 
 def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
     """Segment-sum flavor of the train step for graphs too large/sparse to
-    densify (same math; see ``ops/propagation.lightgcn_propagate_coo``)."""
+    densify (same math; see ``ops/propagation.lightgcn_propagate_coo``).
+    Negative-sampling rejection runs against the user-major CSR edge list
+    (``ops/scalable.sample_bpr_batch_csr``) — no (U, I) pos_mask anywhere,
+    same triple stream as the dense sampler."""
     from lgcnhs_tpu.ops.propagation import lightgcn_propagate_coo
+    from lgcnhs_tpu.ops.scalable import sample_bpr_batch_csr
 
     def _loss(params, edge_users, edge_items, edge_norm, users, pos_items, neg_items):
         u_final, i_final = lightgcn_propagate_coo(
@@ -157,9 +161,10 @@ def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, key, edge_users, edge_items, edge_norm, pos_mask):
-        users, pos_items, neg_items = sample_bpr_batch(
-            key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+    def train_step(params, opt_state, key, edge_users, edge_items, edge_norm,
+                   rowptr, cols):
+        users, pos_items, neg_items = sample_bpr_batch_csr(
+            key, edge_users, edge_items, rowptr, cols, hp.batch_size, n_items
         )
         loss, grads = jax.value_and_grad(_loss)(
             params, edge_users, edge_items, edge_norm, users, pos_items, neg_items
@@ -169,6 +174,32 @@ def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
         return params, opt_state, loss
 
     return train_step
+
+
+def make_coo_train_scan(optimizer, hp, n_users: int, n_items: int):
+    """Scan-chunked flavor of ``make_coo_train_step`` — same fold_in key
+    stream as the per-step path (see ``make_train_scan``); amortizes dispatch
+    for the large-graph path exactly like the dense one."""
+    step_once = make_coo_train_step(optimizer, hp, n_users, n_items)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
+    def train_scan(params, opt_state, base_key, epoch0, n_steps,
+                   edge_users, edge_items, edge_norm, rowptr, cols):
+        def body(carry, epoch):
+            params, opt_state = carry
+            key = jax.random.fold_in(base_key, epoch)
+            params, opt_state, loss = step_once.__wrapped__(
+                params, opt_state, key, edge_users, edge_items, edge_norm,
+                rowptr, cols,
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), epoch0 + jnp.arange(n_steps)
+        )
+        return params, opt_state, losses[-1]
+
+    return train_scan
 
 
 def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
@@ -399,6 +430,15 @@ def train_lightgcn(
         def finalize(params):
             return unpad_params(params, U, I)
 
+        def val_loss_closure(params, vkey):
+            v_users, v_pos, v_neg = sample_bpr_batch(
+                vkey, val_edge_users, val_edge_items, val_pos,
+                int(val_edge_users.shape[0]), I,
+            )
+            return val_loss_fn(
+                params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
+            )
+
     elif propagation == "dense":
         from lgcnhs_tpu.data.graph import binary_incidence_factors
         from lgcnhs_tpu.ops.pallas.propagation import fits_vmem_binary
@@ -421,25 +461,35 @@ def train_lightgcn(
         log.info("graph too large/sparse to densify: segment-sum propagation")
 
     if mesh is None:
-        R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
         edge_users = jnp.asarray(graph.train.users)
         edge_items = jnp.asarray(graph.train.items)
-        train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
-        val_pos = jnp.asarray(pos_bool_matrix(U, I, graph.val))
-        train_interaction = jnp.asarray(interaction_matrix(U, I, graph.train))
         opt_state = optimizer.init(params)
-
-        def eval_fn(params):
-            _, p, r, n, h, i = _val_eval(
-                params, train_pos, val_pos, val_counts, val_present,
-                train_interaction, train_deg, cfg.k, I,
-            )
-            return p, r, n, h, i
 
         def finalize(params):
             return LightGCNParams(*jax.tree.map(jax.device_get, params))
 
         if propagation == "dense":
+            R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
+            train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
+            val_pos = jnp.asarray(pos_bool_matrix(U, I, graph.val))
+            train_interaction = jnp.asarray(interaction_matrix(U, I, graph.train))
+
+            def eval_fn(params):
+                _, p, r, n, h, i = _val_eval(
+                    params, train_pos, val_pos, val_counts, val_present,
+                    train_interaction, train_deg, cfg.k, I,
+                )
+                return p, r, n, h, i
+
+            def val_loss_closure(params, vkey):
+                v_users, v_pos, v_neg = sample_bpr_batch(
+                    vkey, val_edge_users, val_edge_items, val_pos,
+                    int(val_edge_users.shape[0]), I,
+                )
+                return val_loss_fn(
+                    params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
+                )
+
             train_step = make_train_step(
                 optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
             )
@@ -448,10 +498,69 @@ def train_lightgcn(
             )
             step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
         else:
+            # large-graph path: NOTHING here is O(U*I). Training rejection,
+            # eval masking, hit matrices, and the Sorensen metric all run
+            # against CSR edge structures (ops/scalable.py); retrieval is
+            # chunked over users.
+            from lgcnhs_tpu.ops import scalable
+            from lgcnhs_tpu.ops.propagation import lightgcn_propagate_coo
+
             edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+            rowptr_np, cols_np = scalable.user_csr(U, graph.train)
+            rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
+            v_rowptr_np, v_cols_np = scalable.user_csr(U, graph.val)
+            v_rowptr, v_cols = jnp.asarray(v_rowptr_np), jnp.asarray(v_cols_np)
+            val_edge_norm = edge_gcn_norm(val_edge_users, val_edge_items, U, I)
+            inter_edges = (
+                np.asarray(graph.train.users), np.asarray(graph.train.items)
+            )
+            train_deg_np = np.asarray(item_degrees(I, graph.train))
+
+            @partial(jax.jit, static_argnames=("n_layers",))
+            def _coo_val_loss(params, users, pos_items, neg_items, n_layers):
+                u_final, i_final = lightgcn_propagate_coo(
+                    params.user_emb, params.item_emb,
+                    val_edge_users, val_edge_items, val_edge_norm,
+                    U, I, n_layers,
+                )
+                return bpr_loss(
+                    u_final[users], params.user_emb[users],
+                    i_final[pos_items], params.item_emb[pos_items],
+                    i_final[neg_items], params.item_emb[neg_items],
+                    hp.epsilon,
+                )
+
+            def val_loss_closure(params, vkey):
+                v_users, v_pos, v_neg = scalable.sample_bpr_batch_csr(
+                    vkey, val_edge_users, val_edge_items, v_rowptr, v_cols,
+                    int(val_edge_users.shape[0]), I,
+                )
+                return _coo_val_loss(params, v_users, v_pos, v_neg, hp.layers)
+
+            @jax.jit
+            def _hit_metrics(rec, hits):
+                p, r = metrics_ops.precision_recall_from_hits(
+                    hits, val_counts, val_present
+                )
+                n = metrics_ops.ndcg_from_hits(hits, val_present)
+                h = metrics_ops.hamming_distance(rec, I)
+                return p, r, n, h
+
+            def eval_fn(params):
+                rec = scalable.chunked_masked_topk(
+                    params.user_emb, params.item_emb, rowptr_np, cols_np, cfg.k
+                )
+                rec_j = jnp.asarray(rec)
+                hits = scalable.hits_csr(rec_j, v_rowptr, v_cols)
+                p, r, n, h = _hit_metrics(rec_j, hits)
+                i = scalable.internal_similarity_csr(
+                    rec, inter_edges, U, I, train_deg_np
+                )
+                return p, r, n, h, i
+
             train_step = make_coo_train_step(optimizer, hp, U, I)
-            train_scan = None  # huge-graph path: step time dwarfs dispatch
-            step_args = lambda: (edge_users, edge_items, edge_norm, train_pos)
+            train_scan = make_coo_train_scan(optimizer, hp, U, I)
+            step_args = lambda: (edge_users, edge_items, edge_norm, rowptr, cols)
 
     start_epoch = 0
     if checkpoint_dir:
@@ -516,17 +625,7 @@ def train_lightgcn(
 
             if epoch % hp.epoch_per_eval == 0:
                 vkey = jax.random.fold_in(key, hp.epochs + epoch)
-                v_users, v_pos, v_neg = sample_bpr_batch(
-                    vkey,
-                    val_edge_users,
-                    val_edge_items,
-                    val_pos,
-                    int(val_edge_users.shape[0]),
-                    I,
-                )
-                vloss = val_loss_fn(
-                    params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
-                )
+                vloss = val_loss_closure(params, vkey)
                 p, r, n, h, i = eval_fn(params)
                 tl = round(float(loss), 5)
                 vl = round(float(vloss), 5)
