@@ -991,3 +991,210 @@ def test_tied_scores_tie_order_vs_reference_code(reference):
         order = np.argsort(F[u], kind="stable")[::-1]
         expect = [i for i in order if not seen[u, i]][:k]
         assert list(ours[u]) == expect, u
+
+
+def test_training_forward_and_bpr_step_match_reference_model(reference):
+    """Execute the reference's ACTUAL LightGCN.forward and a full
+    getEmbeddingForBPR + BPRLoss step (model/LightGCN/model.py:40-85,
+    train.py:26-59) against lightgcn_propagate + bpr_loss at float64.
+
+    torch-geometric is absent in this image, so MessagePassing.propagate,
+    gcn_norm, and structured_negative_sampling are stubbed with their REAL
+    semantics (sum-aggregated norm-weighted source gather; symmetric
+    1/sqrt(deg) weights with inf->0; per-edge uniform negatives rejected
+    against the row's positives) — ~30 lines of plain torch, exactly the
+    trick already used for getValRecommendations above. Checks:
+      (a) forward equality (both user and item finals) to 1e-12
+      (b) same-batch training loss equality to 1e-12
+      (c) d(loss)/d(embedding tables) equality to 1e-10 (whole step math)
+    """
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    n_users, n_items, D, layers, eps = 12, 20, 8, 3, 1e-4
+    rng = np.random.default_rng(17)
+    eu, ei = _random_interactions(rng, n_users, n_items, 70)
+    ue0 = rng.standard_normal((n_users, D))
+    ie0 = rng.standard_normal((n_items, D))
+
+    # --- real-semantics torch-geometric stand-ins -------------------------
+    class _MessagePassing(torch.nn.Module):
+        def propagate(self, edge_index, x, norm):
+            src, dst = edge_index[0], edge_index[1]
+            msg = self.message(x[src], norm)
+            out = torch.zeros_like(x)
+            out.index_add_(0, dst, msg)
+            return out
+
+    def _gcn_norm(edge_index, add_self_loops):
+        assert add_self_loops is False
+        row, col = edge_index[0], edge_index[1]
+        n = int(edge_index.max()) + 1
+        deg = torch.zeros(n, dtype=torch.float64).index_add_(
+            0, col, torch.ones(col.shape[0], dtype=torch.float64)
+        )
+        dis = deg.pow(-0.5)
+        dis[torch.isinf(dis)] = 0.0
+        return edge_index, dis[row] * dis[col]
+
+    neg_rng = np.random.default_rng(23)
+
+    def _structured_negative_sampling(edge_index, num_nodes=None):
+        i, j = edge_index[0].tolist(), edge_index[1].tolist()
+        n = (int(edge_index.max()) + 1) if num_nodes is None else num_nodes
+        pos = set(zip(i, j))
+        ks = []
+        for u in i:
+            while True:
+                c = int(neg_rng.integers(0, n))
+                if (u, c) not in pos:
+                    break
+            ks.append(c)
+        return edge_index[0], edge_index[1], torch.tensor(ks)
+
+    class _SparseTensor:
+        def __init__(self, row, col, sparse_sizes):
+            self._dense = torch.zeros(sparse_sizes)
+            self._dense[row, col] = 1.0
+
+        def to_dense(self):
+            return self._dense
+
+    batch_idx = list(range(0, len(eu), 2))[:32]  # fixed "random.choices" draw
+
+    stubs = {
+        "torch_sparse": types.ModuleType("torch_sparse"),
+        "torch_geometric": types.ModuleType("torch_geometric"),
+        "torch_geometric.nn": types.ModuleType("torch_geometric.nn"),
+        "torch_geometric.nn.conv": types.ModuleType("torch_geometric.nn.conv"),
+        "torch_geometric.nn.conv.gcn_conv": types.ModuleType(
+            "torch_geometric.nn.conv.gcn_conv"
+        ),
+        "torch_geometric.utils": types.ModuleType("torch_geometric.utils"),
+        "model.LightGCN": types.ModuleType("model.LightGCN"),
+    }
+    stubs["torch_sparse"].SparseTensor = _SparseTensor
+    stubs["torch_geometric"].__path__ = []
+    stubs["torch_geometric.nn"].__path__ = []
+    stubs["torch_geometric.nn.conv"].MessagePassing = _MessagePassing
+    stubs["torch_geometric.nn.conv.gcn_conv"].gcn_norm = _gcn_norm
+    stubs["torch_geometric.utils"].structured_negative_sampling = (
+        _structured_negative_sampling
+    )
+    stubs["model.LightGCN"].__path__ = []
+    saved = {n: sys.modules.get(n) for n in stubs}
+    sys.modules.update(stubs)
+    saved_choices = None
+    try:
+        for name, rel in (
+            ("utils.graph", "utils/graph.py"),
+            ("model.LightGCN.model", "model/LightGCN/model.py"),
+            ("model.LightGCN.loss", "model/LightGCN/loss.py"),
+            ("model.LightGCN.evaluation", "model/LightGCN/evaluation.py"),
+            ("model.LightGCN.train", "model/LightGCN/train.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(name, REF_ROOT / rel)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        ref_model_mod = sys.modules["model.LightGCN.model"]
+        ref_loss_mod = sys.modules["model.LightGCN.loss"]
+        ref_train_mod = sys.modules["model.LightGCN.train"]
+
+        # pin sampleMiniBatch's random.choices to the fixed batch
+        saved_choices = ref_loss_mod.random.choices
+        ref_loss_mod.random.choices = lambda population, k: batch_idx[:k]
+
+        torch.set_default_dtype(torch.float64)
+        model = ref_model_mod.LightGCN(n_users, n_items, D, layers).double()
+        with torch.no_grad():
+            model.users_emb.weight.copy_(torch.from_numpy(ue0))
+            model.items_emb.weight.copy_(torch.from_numpy(ie0))
+
+        # joint bidirectional COO exactly as the reference's converter makes
+        j = np.stack([eu.astype(np.int64), ei.astype(np.int64) + n_users])
+        joint = torch.from_numpy(np.concatenate([j, j[::-1]], axis=1))
+
+        # (a) the actual forward
+        uf_ref, u0_ref, if_ref, i0_ref = model.forward(joint)
+
+        # (b)+(c) the actual BPR step via the reference's own train helper
+        out = ref_train_mod.getEmbeddingForBPR(
+            model, n_users, n_items, joint, len(batch_idx), torch.device("cpu")
+        )
+        loss_t = ref_loss_mod.BPRLoss(*out, eps)
+        loss_t.backward()
+        loss_ref = loss_t.detach()
+        gu_ref = model.users_emb.weight.grad.detach().numpy()
+        gi_ref = model.items_emb.weight.grad.detach().numpy()
+        uf_ref = uf_ref.detach().numpy()
+        if_ref = if_ref.detach().numpy()
+        loss_ref = float(loss_ref)
+    finally:
+        torch.set_default_dtype(torch.float32)
+        if saved_choices is not None:
+            sys.modules["model.LightGCN.loss"].random.choices = saved_choices
+        for name in ("utils.graph", "model.LightGCN.model", "model.LightGCN.loss",
+                     "model.LightGCN.evaluation", "model.LightGCN.train"):
+            sys.modules.pop(name, None)
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    # The edge order structured_negative_sampling saw: the reference round-
+    # trips the joint adjacency through convertAdjMatrixToEdgeIndex, which
+    # emits edges in dense row-major (user, item) order.
+    order = np.lexsort((ei, eu))
+    seu, sei = eu[order], ei[order]
+    neg_rng2 = np.random.default_rng(23)  # replay the sampler's draws
+    pos = set(zip(seu.tolist(), sei.tolist()))
+    # torch-geometric quirk the reference inherits: negatives are drawn from
+    # [0, edge_index.max()+1) of the LOCAL user-item edge index
+    n_cand = int(max(seu.max(), sei.max())) + 1
+    negs = []
+    for u in seu.tolist():
+        while True:
+            c = int(neg_rng2.integers(0, n_cand))
+            if (u, c) not in pos:
+                break
+        negs.append(c)
+    negs = np.asarray(negs)
+    users_b = seu[batch_idx]
+    pos_b = sei[batch_idx]
+    neg_b = negs[batch_idx]
+
+    from lgcnhs_tpu.data.graph import EdgeSet, normalized_bipartite
+    from lgcnhs_tpu.models.lightgcn import LightGCNParams, bpr_loss
+    from lgcnhs_tpu.ops.propagation import lightgcn_propagate
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        R_hat = jnp.asarray(
+            normalized_bipartite(n_users, n_items, EdgeSet(eu, ei), dtype=np.float64)
+        )
+        params = LightGCNParams(jnp.asarray(ue0), jnp.asarray(ie0))
+
+        uf, itf = lightgcn_propagate(params.user_emb, params.item_emb, R_hat, layers)
+        np.testing.assert_allclose(np.asarray(uf), uf_ref, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(itf), if_ref, atol=1e-12)
+
+        def step_loss(p):
+            u_final, i_final = lightgcn_propagate(p.user_emb, p.item_emb, R_hat, layers)
+            return bpr_loss(
+                u_final[users_b], p.user_emb[users_b],
+                i_final[pos_b], p.item_emb[pos_b],
+                i_final[neg_b], p.item_emb[neg_b],
+                eps,
+            )
+
+        loss_ours, grads = jax.value_and_grad(step_loss)(params)
+        assert float(loss_ours) == pytest.approx(loss_ref, abs=1e-12)
+        np.testing.assert_allclose(np.asarray(grads.user_emb), gu_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(grads.item_emb), gi_ref, atol=1e-10)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
