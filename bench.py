@@ -1,17 +1,32 @@
-"""Benchmark: LGCNHS training throughput on TPU vs CPU baseline.
+"""Benchmark: LGCNHS training / retrieval / fused-serving throughput on TPU.
 
-Measures the flagship workload from BASELINE.json — SpreadLightGCNOpti's
+Headline: the flagship workload from BASELINE.json — SpreadLightGCNOpti's
 embedding-model training step (full-graph LightGCN forward + BPR + Adam) at
 MovieLens-1M scale (6040 users x 3706 items, ~1M interactions, d=64,
-batch=1024) — and reports training examples/s/chip.
+batch=1024), measured THROUGH the trainer's actual TPU dispatch: the int8
+binary-incidence dual-product Pallas kernel when it fits VMEM
+(ops/pallas/propagation.py — 1 byte/entry of streamed incidence vs 2 for
+bf16), else the bf16 dense Pallas kernel. Both variants are measured and
+logged; the one the trainer would pick is the headline.
 
-``vs_baseline`` is the speedup over the SAME jitted program executed on this
-host's CPU backend (the reference implementation is CPU/single-GPU torch-
-geometric with per-epoch dense (U+I)^2 adjacency round-trips, so CPU-JAX is a
-STRONGER baseline than the reference itself; the reported ratio is
-conservative).
+``vs_baseline`` is the speedup over the SAME jitted program on this host's
+CPU backend (the reference is CPU/single-GPU torch-geometric with per-epoch
+dense (U+I)^2 joint-adjacency message passing, so CPU-JAX is a STRONGER
+baseline; the ratio is conservative).
 
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"} on stdout.
+The "extra" field folds in the other product kernels so every headline
+number in PERF.md is reproducible from this one committed entry point:
+- retrieval_qps: fused masked top-k retrieval over the full catalog
+  (ops/pallas/retrieval.py), users/s
+- serve_fused_qps: one-pass LGCNHS serving (G, F, Hadamard, top-k in VMEM;
+  ops/pallas/fusion_serve.py), users/s
+- vs_reference_code: measured wall-clock of the REFERENCE'S OWN
+  getSpreadingGeneralMat + HybridS + getResource numpy code
+  (model/SpreadMethod/model.py:14-99) on ML-100K-scale input vs our jitted
+  diffusion_scores on TPU — the one speedup measured against actual
+  reference code rather than a JAX re-implementation.
+
+Output: one JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
 Progress/diagnostics go to stderr.
 
 Environment note: on the tunneled axon TPU, the first device->host sync of a
@@ -31,8 +46,9 @@ N_ITEMS = 3706
 N_INTERACTIONS = 1_600_000  # ~1M post-dedup: true ML-1M interaction count
 EMBED_DIM = 64
 BATCH = 1024
+K = 10
 TPU_STEPS = 200
-CPU_STEPS = 3
+CPU_STEPS = 20
 
 
 def log(msg: str) -> None:
@@ -41,7 +57,7 @@ def log(msg: str) -> None:
 
 def build_problem():
     from lgcnhs_tpu.config import load_config
-    from lgcnhs_tpu.data.graph import build_graph, normalized_bipartite, pos_bool_matrix
+    from lgcnhs_tpu.data.graph import build_graph
     from lgcnhs_tpu.data.ratings import prepare_ratings
     from lgcnhs_tpu.data.synthetic import synthesize_movielens_like
 
@@ -60,13 +76,21 @@ def build_problem():
     return cfg, hp, graph
 
 
-def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float:
-    """examples/s for the jitted train step on the given device."""
+def bench_train(devices, hp, graph, n_steps: int, variant: str) -> float:
+    """examples/s for the jitted train scan on the given device.
+
+    variant: "xla_f32" (CPU baseline / parity path), "pallas_bf16" (dense
+    bf16 incidence), or "binary" (factored int8 incidence — the trainer's
+    TPU dispatch when it fits VMEM, train/trainer.py)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from lgcnhs_tpu.data.graph import normalized_bipartite, pos_bool_matrix
+    from lgcnhs_tpu.data.graph import (
+        binary_incidence_factors,
+        normalized_bipartite,
+        pos_bool_matrix,
+    )
     from lgcnhs_tpu.models.lightgcn import init_lightgcn
     from lgcnhs_tpu.train.trainer import lr_schedule, make_train_scan
 
@@ -74,9 +98,17 @@ def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float
     U, I = graph.n_users, graph.n_items
     put = lambda x: jax.device_put(jnp.asarray(x), dev)
 
-    R_hat = put(normalized_bipartite(U, I, graph.train))
-    if bf16:  # cast the matmul input once, not per step (trainer does the same)
-        R_hat = R_hat.astype(jnp.bfloat16)
+    pallas_ok = dev.platform == "tpu"  # Mosaic kernels need real TPU
+    if variant == "binary":
+        R8, du_inv, di_inv = binary_incidence_factors(U, I, graph.train)
+        R_hat = (put(R8), put(du_inv), put(di_inv))
+        bf16, use_pallas = True, pallas_ok
+    elif variant == "pallas_bf16":
+        R_hat = put(normalized_bipartite(U, I, graph.train)).astype(jnp.bfloat16)
+        bf16, use_pallas = True, pallas_ok
+    else:
+        R_hat = put(normalized_bipartite(U, I, graph.train))
+        bf16, use_pallas = False, False
     pos = put(pos_bool_matrix(U, I, graph.train))
     eu = put(graph.train.users)
     ei = put(graph.train.items)
@@ -87,12 +119,8 @@ def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float
     )
     opt_state = jax.tree.map(put, optimizer.init(params))
     # What the trainer actually runs between eval boundaries: all epochs in
-    # ONE jitted lax.scan (make_train_scan). The dual-product Pallas
-    # propagation kernel runs only on the TPU rows; the CPU baseline keeps
-    # the pure-XLA program.
-    scan = make_train_scan(
-        optimizer, hp, I, bf16_matmul=bf16, use_pallas=(dev.platform != "cpu")
-    )
+    # ONE jitted lax.scan (make_train_scan).
+    scan = make_train_scan(optimizer, hp, I, bf16_matmul=bf16, use_pallas=use_pallas)
 
     key = jax.device_put(jax.random.PRNGKey(7), dev)
 
@@ -109,6 +137,131 @@ def bench_backend(devices, hp, graph, n_steps: int, bf16: bool = False) -> float
     return hp.batch_size * n_steps / dt
 
 
+def bench_retrieval(graph, reps: int = 30) -> float:
+    """users/s of full-catalog masked top-k retrieval (the serving kernel
+    recommend_gcn dispatches to on TPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.data.graph import pos_bool_matrix
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.ops.topk import retrieve_topk
+
+    U, I = graph.n_users, graph.n_items
+    params = init_lightgcn(jax.random.PRNGKey(1), U, I, EMBED_DIM)
+    seen = jnp.asarray(pos_bool_matrix(U, I, graph.train, graph.val))
+    idx = retrieve_topk(params.user_emb, params.item_emb, seen, K)
+    idx.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        idx = retrieve_topk(params.user_emb, params.item_emb, seen, K)
+    idx.block_until_ready()
+    return U * reps / (time.perf_counter() - t0)
+
+
+def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
+    """users/s of the one-pass fused LGCNHS serving kernel (G, F, Hadamard,
+    top-k without HBM intermediates) — XLA equivalent off-TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.data.graph import interaction_matrix, pos_bool_matrix
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.ops.diffusion import general_spreading_matrix, hybrid_transfer
+
+    U, I = graph.n_users, graph.n_items
+    params = init_lightgcn(jax.random.PRNGKey(2), U, I, EMBED_DIM)
+    A = jnp.asarray(interaction_matrix(U, I, graph.train, graph.val))
+    seen = jnp.asarray(pos_bool_matrix(U, I, graph.train, graph.val))
+    W = hybrid_transfer(A, general_spreading_matrix(A), jnp.asarray(lam, A.dtype))
+
+    if jax.default_backend() == "tpu":
+        from lgcnhs_tpu.ops.pallas.fusion_serve import fused_lgcnhs_serve
+
+        run = lambda: fused_lgcnhs_serve(
+            params.user_emb, params.item_emb, A, W, seen, K
+        )[0]
+    else:
+        from lgcnhs_tpu.models.fusion import _serve_unfused
+
+        run = lambda: _serve_unfused(params.user_emb, params.item_emb, A, W, seen, K)
+
+    run().block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        idx = run()
+    idx.block_until_ready()
+    return U * reps / (time.perf_counter() - t0)
+
+
+def bench_reference_diffusion() -> tuple:
+    """(reference_seconds, ours_seconds) for the HybridS resource-matrix
+    chain at ML-100K scale — the reference side executes the ACTUAL
+    /root/reference/model/SpreadMethod/model.py code (numpy, as shipped)."""
+    import importlib.util
+    import types
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.ops.diffusion import diffusion_scores
+
+    ref_root = Path("/root/reference")
+    if not ref_root.exists():
+        return None, None
+
+    class _NullLogger:
+        def __getattr__(self, _name):
+            return lambda *a, **k: None
+
+    saved = {n: sys.modules.get(n) for n in ("utils", "utils.log", "utils.wrapper")}
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = []
+    log_stub = types.ModuleType("utils.log")
+    log_stub.logger = _NullLogger()
+    wrapper_stub = types.ModuleType("utils.wrapper")
+    wrapper_stub.calTimes = lambda _l, _m: (lambda fn: fn)
+    sys.modules.update(
+        {"utils": utils_pkg, "utils.log": log_stub, "utils.wrapper": wrapper_stub}
+    )
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_spread", ref_root / "model" / "SpreadMethod" / "model.py"
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+    finally:
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    rng = np.random.default_rng(5)
+    U, I, E = 943, 1682, 80_000
+    A = np.zeros((U, I))
+    A[rng.integers(0, U, E), rng.integers(0, I, E)] = 1.0
+    lam = 0.8
+
+    t0 = time.perf_counter()
+    W_gen = ref.getSpreadingGeneralMat(A.copy())
+    W = ref.HybridS(A, W_gen, lam)
+    _F_ref = ref.getResource(A, W)
+    ref_s = time.perf_counter() - t0
+
+    Aj = jnp.asarray(A, jnp.float32)
+    lamj = jnp.asarray(lam, jnp.float32)
+    diffusion_scores(Aj, lamj).block_until_ready()  # compile
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        F = diffusion_scores(Aj, lamj)
+    F.block_until_ready()
+    ours_s = (time.perf_counter() - t0) / reps
+    return ref_s, ours_s
+
+
 def main() -> None:
     import jax
 
@@ -122,24 +275,50 @@ def main() -> None:
 
     cfg, hp, graph = build_problem()
     log(f"problem: U={graph.n_users} I={graph.n_items} E={graph.train.n_edges}")
+    on_tpu = jax.default_backend() == "tpu"
 
+    extra = {}
+
+    from lgcnhs_tpu.ops.pallas.propagation import fits_vmem_binary
+
+    binary_fits = fits_vmem_binary(graph.n_users, graph.n_items, EMBED_DIM, True)
     tpu_devices = jax.devices()
-    # TPU runs the production mixed-precision path (bf16 matmul inputs, f32
-    # accumulation + Adam); the CPU baseline runs plain f32 like the
-    # reference. Same workload, hardware-appropriate precision each.
-    tpu_rate = bench_backend(tpu_devices, hp, graph, TPU_STEPS, bf16=True)
-    log(f"TPU (bf16 matmul): {tpu_rate:,.0f} examples/s")
-    tpu_f32 = bench_backend(tpu_devices, hp, graph, TPU_STEPS, bf16=False)
-    log(f"TPU (f32 parity path): {tpu_f32:,.0f} examples/s")
+    rate_bf16 = bench_train(tpu_devices, hp, graph, TPU_STEPS, "pallas_bf16" if on_tpu else "xla_f32")
+    log(f"train bf16 dense Pallas: {rate_bf16:,.0f} examples/s")
+    extra["train_bf16_pallas_eps"] = round(rate_bf16, 1)
+    if on_tpu and binary_fits:
+        rate_bin = bench_train(tpu_devices, hp, graph, TPU_STEPS, "binary")
+        log(f"train int8 binary-incidence Pallas: {rate_bin:,.0f} examples/s")
+        extra["train_int8_binary_eps"] = round(rate_bin, 1)
+        # headline = what the trainer actually dispatches (the binary path)
+        tpu_rate = rate_bin
+    else:
+        tpu_rate = rate_bf16
 
     try:
         cpu_devices = jax.devices("cpu")
-        cpu_rate = bench_backend(cpu_devices, hp, graph, CPU_STEPS)
-        log(f"CPU baseline: {cpu_rate:,.0f} examples/s")
+        cpu_rate = bench_train(cpu_devices, hp, graph, CPU_STEPS, "xla_f32")
+        log(f"CPU baseline ({CPU_STEPS} steps): {cpu_rate:,.0f} examples/s")
+        extra["cpu_f32_eps"] = round(cpu_rate, 1)
         vs_baseline = tpu_rate / cpu_rate
     except Exception as exc:  # CPU backend unavailable: report ratio 1
         log(f"CPU baseline unavailable: {exc}")
         vs_baseline = 1.0
+
+    qps = bench_retrieval(graph)
+    log(f"retrieval: {qps:,.0f} users/s")
+    extra["retrieval_qps"] = round(qps, 1)
+
+    sqps = bench_serve_fused(graph, cfg.hparams.lambda_)
+    log(f"fused serving: {sqps:,.0f} users/s")
+    extra["serve_fused_qps"] = round(sqps, 1)
+
+    ref_s, ours_s = bench_reference_diffusion()
+    if ref_s is not None:
+        log(f"reference HybridS chain (actual numpy code): {ref_s:.3f}s; ours: {ours_s:.4f}s")
+        extra["ref_hybrids_ml100k_s"] = round(ref_s, 3)
+        extra["ours_hybrids_ml100k_s"] = round(ours_s, 4)
+        extra["vs_reference_code"] = round(ref_s / ours_s, 1)
 
     print(
         json.dumps(
@@ -148,6 +327,7 @@ def main() -> None:
                 "value": round(tpu_rate, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(vs_baseline, 2),
+                "extra": extra,
             }
         )
     )

@@ -6,14 +6,33 @@ import numpy as np
 import bench
 
 
-def test_bench_backend_runs_tiny(monkeypatch):
+def _tiny(monkeypatch):
     monkeypatch.setattr(bench, "N_USERS", 40)
     monkeypatch.setattr(bench, "N_ITEMS", 60)
     monkeypatch.setattr(bench, "N_INTERACTIONS", 1500)
     monkeypatch.setattr(bench, "EMBED_DIM", 8)
     monkeypatch.setattr(bench, "BATCH", 32)
-    cfg, hp, graph = bench.build_problem()
-    rate = bench.bench_backend(jax.devices("cpu"), hp, graph, n_steps=2)
-    assert rate > 0
-    rate16 = bench.bench_backend(jax.devices("cpu"), hp, graph, n_steps=2, bf16=True)
-    assert rate16 > 0
+    monkeypatch.setattr(bench, "K", 5)
+    return bench.build_problem()
+
+
+def test_bench_train_runs_tiny(monkeypatch):
+    cfg, hp, graph = _tiny(monkeypatch)
+    for variant in ("xla_f32", "pallas_bf16", "binary"):
+        # off-TPU the binary/pallas variants take their XLA fallbacks —
+        # the point is the plumbing can't rot
+        rate = bench.bench_train(jax.devices("cpu"), hp, graph, 2, variant)
+        assert rate > 0, variant
+
+
+def test_bench_serving_and_reference_rows_run_tiny(monkeypatch):
+    cfg, hp, graph = _tiny(monkeypatch)
+    assert bench.bench_retrieval(graph, reps=2) > 0
+    assert bench.bench_serve_fused(graph, cfg.hparams.lambda_, reps=2) > 0
+
+
+def test_bench_reference_diffusion_row(monkeypatch):
+    ref_s, ours_s = bench.bench_reference_diffusion()
+    if ref_s is None:
+        return  # /root/reference not mounted
+    assert ref_s > 0 and ours_s > 0
