@@ -35,6 +35,20 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "device on the model axis (tables row-sharded, catalog item-sharded, "
         "distributed top-k; default single device)",
     )
+    p.add_argument(
+        "--data-dir",
+        default=None,
+        metavar="DIR",
+        help="directory holding the raw dataset files (e.g. an extracted "
+        "ml-100k/); sets preprocessing.dataset_paths",
+    )
+    p.add_argument(
+        "--fetch",
+        action="store_true",
+        help="opt-in: download ML-100K (~5 MB, files.grouplens.org, "
+        "md5-verified) into <workdir>/data when the raw files are absent; "
+        "logged no-op without network egress",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -109,6 +123,18 @@ def config_from_args(args: argparse.Namespace) -> Config:
             if len(parts) != 2 or any(p < 1 for p in parts):
                 raise SystemExit(f"--mesh expects DATA,MODEL (got {args.mesh!r})")
             overrides["compute.mesh_shape"] = parts
+    if getattr(args, "data_dir", None):
+        from lgcnhs_tpu.data.fetch import ml100k_paths
+
+        overrides["preprocessing.dataset_paths"] = ml100k_paths(args.data_dir)
+    elif getattr(args, "fetch", False) and args.dataset == "movielens":
+        import os
+
+        from lgcnhs_tpu.data.fetch import fetch_ml100k
+
+        paths = fetch_ml100k(os.path.join(args.workdir, "data"))
+        if paths is not None:
+            overrides["preprocessing.dataset_paths"] = paths
     cfg = load_config(
         env=args.env,
         dataset=args.dataset,

@@ -250,18 +250,25 @@ def load_config(
     if overrides:
         hp_patch = {}
         compute_patch = {}
+        pre_patch = {}
         top_patch = {}
         for key, value in overrides.items():
             if key.startswith("hparams."):
                 hp_patch[key.split(".", 1)[1]] = value
             elif key.startswith("compute."):
                 compute_patch[key.split(".", 1)[1]] = value
+            elif key.startswith("preprocessing."):
+                pre_patch[key.split(".", 1)[1]] = value
             else:
                 top_patch[key] = value
         if hp_patch:
             cfg = cfg.replace(hparams=dataclasses.replace(cfg.hparams, **hp_patch))
         if compute_patch:
             cfg = cfg.replace(compute=dataclasses.replace(cfg.compute, **compute_patch))
+        if pre_patch:
+            cfg = cfg.replace(
+                preprocessing=dataclasses.replace(cfg.preprocessing, **pre_patch)
+            )
         if top_patch:
             cfg = cfg.replace(**top_patch)
     return cfg

@@ -82,9 +82,14 @@ def movielens_item_features(
     """(raw item ids, feature rows): 19 genre flags + one-hot(year bucket) +
     title embedding (``handleMovielens.py:62-104``)."""
     genres = items[GENRE_COLUMNS].to_numpy(dtype=np.float32)
+    # missing dates: the reference's astype(str) turns NaN into the literal
+    # 'nan' (old pandas), whose yearMap hits the non-digit sentinel bucket 0
+    # (handleMovielens.py:79-82, handleFeature.py:39-44); newer pandas string
+    # dtype propagates NaN through .str, so coerce explicitly
     years = (
         items["release_date"].astype(str).str[-4:]
-        .apply(lambda y: year_bucket(int(y)) if y.isdigit() else 0)
+        .apply(lambda y: year_bucket(int(y))
+               if isinstance(y, str) and y.isdigit() else 0)
     )
     year_oh = np.stack([one_hot(b, N_YEAR_BUCKETS) for b in years]).astype(np.float32)
     titles = text_embeddings(items["movie_title"].astype(str).tolist(), title_dim)
