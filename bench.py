@@ -49,6 +49,9 @@ BATCH = 1024
 K = 10
 TPU_STEPS = 200
 CPU_STEPS = 20
+LAMBDA_POINTS = 101  # the reference's findLambda grid (findLambda.py:83)
+REF_SWEEP_ITERS = 2  # reference loop iterations to time (each costs seconds)
+SWEEP_USERS, SWEEP_ITEMS, SWEEP_INTERACTIONS = 943, 1682, 100_000  # ML-100K
 
 
 def log(msg: str) -> None:
@@ -194,12 +197,83 @@ def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
     return U * reps / (time.perf_counter() - t0)
 
 
+class _RefModules:
+    """Context manager loading the reference's OWN modules (SpreadMethod
+    model/recommend, trans converters, both metric files) with side-effect
+    stand-ins for its const/logging globals — the same stub pattern as the
+    differential test suite (tests/test_reference_differential.py:52-109)."""
+
+    _STUBBED = (
+        "const", "utils", "utils.log", "utils.wrapper", "model", "metrics",
+        "model.SpreadMethod", "model.SpreadMethod.model",
+        "model.SpreadMethod.recommend", "metrics.accurate",
+        "metrics.diversity", "utils.trans",
+    )
+
+    def __init__(self, ref_root, save_dir: str):
+        self.ref_root = ref_root
+        self.save_dir = save_dir
+
+    def __enter__(self):
+        import importlib
+        import types
+        from types import SimpleNamespace
+
+        class _NullLogger:
+            def __getattr__(self, _name):
+                return lambda *a, **k: None
+
+        self._saved = {n: sys.modules.get(n) for n in self._STUBBED}
+        cfg = SimpleNamespace(
+            DATA_SET="douban",  # no dataset-specific ranking quirks
+            MODEL={"name": "HybridS"},
+            RECOMMEND={"save_path": self.save_dir + "/", "k": K},
+        )
+        utils_pkg = types.ModuleType("utils")
+        utils_pkg.__path__ = [str(self.ref_root / "utils")]
+        log_stub = types.ModuleType("utils.log")
+        log_stub.logger = _NullLogger()
+        wrapper_stub = types.ModuleType("utils.wrapper")
+        wrapper_stub.calTimes = lambda _l, _m: (lambda fn: fn)
+        const_stub = types.ModuleType("const")
+        const_stub.cfg = cfg
+        model_pkg = types.ModuleType("model")
+        model_pkg.__path__ = [str(self.ref_root / "model")]
+        metrics_pkg = types.ModuleType("metrics")
+        metrics_pkg.__path__ = [str(self.ref_root / "metrics")]
+        sys.modules.update(
+            {
+                "utils": utils_pkg,
+                "utils.log": log_stub,
+                "utils.wrapper": wrapper_stub,
+                "const": const_stub,
+                "model": model_pkg,
+                "metrics": metrics_pkg,
+            }
+        )
+        return SimpleNamespace(
+            cfg=cfg,
+            spread=importlib.import_module("model.SpreadMethod.model"),
+            spread_rec=importlib.import_module("model.SpreadMethod.recommend"),
+            accurate=importlib.import_module("metrics.accurate"),
+            diversity=importlib.import_module("metrics.diversity"),
+            trans=importlib.import_module("utils.trans"),
+        )
+
+    def __exit__(self, *exc):
+        for n, m in self._saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+        return False
+
+
 def bench_reference_diffusion() -> tuple:
     """(reference_seconds, ours_seconds) for the HybridS resource-matrix
     chain at ML-100K scale — the reference side executes the ACTUAL
     /root/reference/model/SpreadMethod/model.py code (numpy, as shipped)."""
-    import importlib.util
-    import types
+    import tempfile
     from pathlib import Path
 
     import jax
@@ -211,44 +285,18 @@ def bench_reference_diffusion() -> tuple:
     if not ref_root.exists():
         return None, None
 
-    class _NullLogger:
-        def __getattr__(self, _name):
-            return lambda *a, **k: None
-
-    saved = {n: sys.modules.get(n) for n in ("utils", "utils.log", "utils.wrapper")}
-    utils_pkg = types.ModuleType("utils")
-    utils_pkg.__path__ = []
-    log_stub = types.ModuleType("utils.log")
-    log_stub.logger = _NullLogger()
-    wrapper_stub = types.ModuleType("utils.wrapper")
-    wrapper_stub.calTimes = lambda _l, _m: (lambda fn: fn)
-    sys.modules.update(
-        {"utils": utils_pkg, "utils.log": log_stub, "utils.wrapper": wrapper_stub}
-    )
-    try:
-        spec = importlib.util.spec_from_file_location(
-            "ref_spread", ref_root / "model" / "SpreadMethod" / "model.py"
-        )
-        ref = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(ref)
-    finally:
-        for n, m in saved.items():
-            if m is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = m
-
     rng = np.random.default_rng(5)
     U, I, E = 943, 1682, 80_000
     A = np.zeros((U, I))
     A[rng.integers(0, U, E), rng.integers(0, I, E)] = 1.0
     lam = 0.8
 
-    t0 = time.perf_counter()
-    W_gen = ref.getSpreadingGeneralMat(A.copy())
-    W = ref.HybridS(A, W_gen, lam)
-    _F_ref = ref.getResource(A, W)
-    ref_s = time.perf_counter() - t0
+    with tempfile.TemporaryDirectory() as td, _RefModules(ref_root, td) as ref:
+        t0 = time.perf_counter()
+        W_gen = ref.spread.getSpreadingGeneralMat(A.copy())
+        W = ref.spread.HybridS(A, W_gen, lam)
+        _F_ref = ref.spread.getResource(A, W)
+        ref_s = time.perf_counter() - t0
 
     Aj = jnp.asarray(A, jnp.float32)
     lamj = jnp.asarray(lam, jnp.float32)
@@ -260,6 +308,108 @@ def bench_reference_diffusion() -> tuple:
     F.block_until_ready()
     ours_s = (time.perf_counter() - t0) / reps
     return ref_s, ours_s
+
+
+def bench_lambda_sweep() -> tuple:
+    """(ours_total_s, ref_per_iter_s) for the findLambda hyperparameter sweep
+    at ML-100K scale, 101 grid points.
+
+    Ours: the ENTIRE grid as one on-device program (ops/sweep.py) — G, A,
+    W_gen, eval arrays resident; diffusion + Hadamard + ranking + all five
+    raw metrics per point under lax.map. Timed end-to-end for all 101 points.
+
+    Reference: the ACTUAL per-iteration body of findLambda.py:93-116 composed
+    from the reference's own loadable functions — getHybridSResourceMat's
+    exact body HybridS+getResource (model/SpreadLightGCNOpti/model.py:173-188
+    delegates to model/SpreadMethod/model.py), the per-user ranking loop
+    (model/SpreadMethod/recommend.py:18-56, same loop as the
+    SpreadLightGCNOpti flavor minus its movielens quirk), recommendDictToTensor,
+    and getAccurateMetrics + getDiversityMetrics (incl. the O(U^2) python
+    Hamming loop). Measured for REF_SWEEP_ITERS iterations, reported
+    per-iteration; a full grid costs 101x that.
+    """
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from lgcnhs_tpu.config import load_config
+    from lgcnhs_tpu.data.graph import build_graph, interaction_matrix, pos_bool_matrix
+    from lgcnhs_tpu.data.ratings import prepare_ratings
+    from lgcnhs_tpu.data.synthetic import synthesize_movielens_like
+    from lgcnhs_tpu.eval.metrics import EvalContext
+    from lgcnhs_tpu.models.fusion import allocate_matrix
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.ops.diffusion import general_spreading_matrix
+    from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
+    from lgcnhs_tpu.ops.sweep import lambda_sweep_metrics
+
+    U, I = SWEEP_USERS, SWEEP_ITEMS
+    cfg = load_config(env="dev", dataset="synthetic", model="SpreadLightGCNOpti")
+    df = synthesize_movielens_like(U, I, SWEEP_INTERACTIONS, seed=11)
+    splits = prepare_ratings(df, cfg)
+    graph = build_graph(splits)
+    ctx = EvalContext.build(
+        graph.n_users, graph.n_items, graph.test, graph.train, graph.val
+    )
+    params = init_lightgcn(jax.random.PRNGKey(9), graph.n_users, graph.n_items, EMBED_DIM)
+    A = jnp.asarray(
+        interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    )
+    seen = jnp.asarray(
+        pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    )
+    G = allocate_matrix(params, seen)
+    W_gen = general_spreading_matrix(A)
+    S = similarity_matrix(jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg))
+    lambdas = jnp.asarray(np.linspace(0.0, 1.0, LAMBDA_POINTS, dtype=np.float32))
+    sweep_args = (
+        G, A, W_gen, seen,
+        jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
+        jnp.asarray(ctx.eval_present), S,
+    )
+    lambda_sweep_metrics(lambdas, *sweep_args, K).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    out = lambda_sweep_metrics(lambdas, *sweep_args, K)
+    out.block_until_ready()
+    ours_s = time.perf_counter() - t0
+
+    ref_root = Path("/root/reference")
+    if not ref_root.exists():
+        return ours_s, None
+
+    An = np.asarray(A, np.float64)
+    Gn = np.asarray(G, np.float64)
+    train_df = pd.DataFrame(
+        {"user_id": graph.train.users, "item_id": graph.train.items}
+    )
+    val_df = pd.DataFrame({"user_id": graph.val.users, "item_id": graph.val.items})
+    with tempfile.TemporaryDirectory() as td, _RefModules(ref_root, td) as ref:
+        test_df = pd.DataFrame(
+            {"user_id": graph.test.users, "item_id": graph.test.items}
+        )
+        # hoisted exactly as findLambda.py:51-74 hoists them
+        test_pos = ref.trans.getUserItemsDictByDataframe(test_df)
+        train_pos = ref.trans.getUserItemsDictByDataframe(train_df)
+        val_pos = ref.trans.getUserItemsDictByDataframe(val_df)
+        item_deg = ref.trans.getItemDegreeByUserPosItemDict(train_pos, val_pos)
+        W_gen_ref = ref.spread.getSpreadingGeneralMat(An.copy())
+        t0 = time.perf_counter()
+        for it in range(REF_SWEEP_ITERS):
+            lam = 0.5 + 0.01 * it
+            # findLambda.py:95-116 loop body, reference code throughout
+            F = ref.spread.getResource(An, ref.spread.HybridS(An, W_gen_ref, lam))
+            F_new = Gn * F
+            rec_dict = ref.spread_rec.recommendForAllUser(
+                F_new, graph.n_users, train_df, val_df, K
+            )
+            rec = ref.trans.recommendDictToTensor(rec_dict)
+            _acc = ref.accurate.getAccurateMetrics(test_pos, rec, K)
+            _div = ref.diversity.getDiversityMetrics(rec, item_deg, An, K)
+        ref_iter_s = (time.perf_counter() - t0) / REF_SWEEP_ITERS
+    return ours_s, ref_iter_s
 
 
 def main() -> None:
@@ -319,6 +469,20 @@ def main() -> None:
         extra["ref_hybrids_ml100k_s"] = round(ref_s, 3)
         extra["ours_hybrids_ml100k_s"] = round(ours_s, 4)
         extra["vs_reference_code"] = round(ref_s / ours_s, 1)
+
+    sweep_s, ref_iter_s = bench_lambda_sweep()
+    log(f"lambda sweep, {LAMBDA_POINTS} grid points fused on-device: {sweep_s:.3f}s")
+    extra["lambda_sweep_101pts_s"] = round(sweep_s, 3)
+    if ref_iter_s is not None:
+        log(
+            f"reference findLambda body (actual code): {ref_iter_s:.2f}s/point "
+            f"-> {ref_iter_s * LAMBDA_POINTS:.0f}s for the grid "
+            f"({ref_iter_s * LAMBDA_POINTS / sweep_s:.0f}x)"
+        )
+        extra["ref_lambda_point_s"] = round(ref_iter_s, 3)
+        extra["vs_reference_lambda_sweep"] = round(
+            ref_iter_s * LAMBDA_POINTS / sweep_s, 1
+        )
 
     print(
         json.dumps(

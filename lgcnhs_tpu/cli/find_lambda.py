@@ -2,35 +2,36 @@
 
 Re-design of ``findLambda.py:49-138``: train (or load) the LightGCNOpti
 allocation matrix G ONCE, compute W_gen ONCE, then sweep lambda recomputing
-F and G*F and evaluating all six metrics per lambda. On TPU the whole sweep
-body is one jitted program re-invoked per lambda (G and W_gen stay resident
-in HBM); results land in ``lambda_evaluation_<k>.csv`` + metric PNGs like the
-reference.
+F and G*F and evaluating all six metrics per lambda. Where the reference
+re-enters numpy + python metric loops 101 times (``findLambda.py:83-116``),
+the whole grid here is ONE on-device program (``ops/sweep.py``): diffusion,
+Hadamard fusion, ranking, and the five raw metrics run under a single
+``lax.map`` with every loop constant resident in HBM — and with ``--mesh``
+the grid points fan out one-per-device. Results land in
+``lambda_evaluation_<k>.csv`` + metric PNGs like the reference.
 """
 from __future__ import annotations
 
-from functools import partial
+import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
 from lgcnhs_tpu.cli.common import base_parser, config_from_args, load_pipeline
 from lgcnhs_tpu.data.graph import interaction_matrix, pos_bool_matrix
-from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
+from lgcnhs_tpu.eval.metrics import EvalContext
 from lgcnhs_tpu.models.fusion import allocate_matrix
 from lgcnhs_tpu.models.recommenders import get_or_train_params
-from lgcnhs_tpu.ops.diffusion import general_spreading_matrix, hybrid_resource
-from lgcnhs_tpu.ops.topk import rank_exclude_seen
+from lgcnhs_tpu.ops.diffusion import general_spreading_matrix
+from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
+from lgcnhs_tpu.ops.sweep import (
+    lambda_sweep_metrics,
+    sharded_lambda_sweep,
+    sweep_rows,
+)
 from lgcnhs_tpu.runtime.logging import get_logger
-import os
-
-
-@partial(jax.jit, static_argnames=("k",))
-def _sweep_step(G, A, W_gen, seen, lam, k):
-    F = hybrid_resource(A, W_gen, lam)
-    return rank_exclude_seen(G * F, seen, k, filter_seen=True)
+from lgcnhs_tpu.runtime.mesh import mesh_from_config
 
 
 def main(argv=None) -> pd.DataFrame:
@@ -55,14 +56,27 @@ def main(argv=None) -> pd.DataFrame:
     )
     G = allocate_matrix(params, seen)
     W_gen = general_spreading_matrix(A)
+    S = similarity_matrix(jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg))
 
-    lambdas = np.arange(0.0, 1.0 + args.step, args.step).tolist()
-    rows = []
-    for lam in lambdas:
-        rec = np.asarray(_sweep_step(G, A, W_gen, seen, jnp.float32(lam), cfg.k))
-        metrics = evaluate_recommendations(ctx, rec)
-        rows.append({"lambda": round(lam, 4), **metrics})
-        log.info("lambda %.2f evaluated: %s", lam, metrics)
+    lambdas = np.arange(0.0, 1.0 + args.step, args.step, dtype=np.float32)
+    sweep_args = (
+        G, A, W_gen, seen,
+        jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
+        jnp.asarray(ctx.eval_present), S,
+    )
+    mesh = mesh_from_config(cfg.compute)
+    if mesh is not None:
+        log.info(
+            "lambda sweep sharded over %d devices (mesh %s flattened)",
+            mesh.devices.size, dict(mesh.shape),
+        )
+        metrics = sharded_lambda_sweep(mesh, lambdas, *sweep_args, k=cfg.k)
+    else:
+        metrics = lambda_sweep_metrics(jnp.asarray(lambdas), *sweep_args, cfg.k)
+
+    rows = sweep_rows(lambdas, np.asarray(metrics))
+    for row in rows:
+        log.info("lambda %.2f evaluated: %s", row["lambda"], row)
 
     df = pd.DataFrame(rows)
     out = os.path.join(cfg.evaluation_path, f"lambda_evaluation_{cfg.k}.csv")

@@ -101,6 +101,36 @@ def hamming_distance(rec: jnp.ndarray, n_items: int) -> jnp.ndarray:
 
 
 @jax.jit
+def similarity_matrix(
+    interaction: jnp.ndarray,  # (U, I) float 0/1 train+val matrix
+    item_deg: jnp.ndarray,  # (I,) degrees from the train+val pos dicts
+) -> jnp.ndarray:
+    """Degree-normalized co-occurrence S[i,j] = cooc(i,j)/sqrt(k_i k_j) —
+    the Sorensen kernel the reference evaluates pairwise per recommended item
+    pair (``metrics/diversity.py:96-107``). One MXU matmul; rec-independent,
+    so sweep drivers hoist it out of their lambda loop."""
+    cooc = jnp.dot(interaction.T, interaction, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    deg = item_deg.astype(jnp.float32)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    return cooc * inv_sqrt[:, None] * inv_sqrt[None, :]
+
+
+@jax.jit
+def internal_similarity_from_matrix(
+    rec: jnp.ndarray,  # (U, k)
+    S: jnp.ndarray,  # (I, I) from similarity_matrix
+) -> jnp.ndarray:
+    """I@k given a precomputed similarity matrix: gather the (U, k, k) pair
+    block of S and subtract its diagonal — O(U k^2) gathers instead of a
+    (U,I)x(I,I) bilinear product, the cheap form when S is reused across many
+    recommendation lists (lambda sweeps)."""
+    U, k = rec.shape
+    pair = S[rec[:, :, None], rec[:, None, :]]  # (U, k, k)
+    diag = S[rec, rec]  # (U, k) — i == j terms
+    return (jnp.sum(pair) - jnp.sum(diag)) / (float(U) * k * (k - 1))
+
+
+@jax.jit
 def internal_similarity(
     rec: jnp.ndarray,  # (U, k)
     interaction: jnp.ndarray,  # (U, I) float 0/1 train+val matrix
@@ -117,10 +147,7 @@ def internal_similarity(
     U, k = rec.shape
     n_items = interaction.shape[1]
 
-    cooc = jnp.dot(interaction.T, interaction, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
-    deg = item_deg.astype(jnp.float32)
-    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
-    S = cooc * inv_sqrt[:, None] * inv_sqrt[None, :]
+    S = similarity_matrix(interaction, item_deg)
 
     B = jnp.zeros((U, n_items), dtype=jnp.float32)
     B = B.at[jnp.arange(U)[:, None], rec].set(1.0)

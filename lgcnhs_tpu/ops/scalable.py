@@ -232,7 +232,8 @@ def internal_similarity_csr(
     G = (Asub.T @ Asub).tocsr()  # (R, R) co-occurrence of recommended items
 
     deg = np.asarray(item_deg, np.float64)[uniq]
-    inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
+    with np.errstate(divide="ignore"):
+        inv_sqrt = np.where(deg > 0, 1.0 / np.sqrt(deg), 0.0)
 
     ridx = inv.reshape(U, k)
     rows = np.repeat(ridx, k, axis=1).ravel()

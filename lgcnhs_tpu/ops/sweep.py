@@ -1,0 +1,146 @@
+"""Fused on-device lambda sweep for the findLambda driver.
+
+Re-design of the reference's hyperparameter sweep loop
+(``findLambda.py:83-116``): the reference runs 101 host iterations, each
+computing a dense numpy HybridS transfer + resource pass
+(``model/SpreadLightGCNOpti/model.py:173-188`` via ``findLambda.py:95``), a
+per-user python ranking loop (``model/SpreadLightGCNOpti/recommend.py:18-53``)
+and python-loop metrics — the Hamming metric alone is an O(U^2) double loop
+(``metrics/diversity.py:32-58``) — per lambda.
+
+Here the ENTIRE grid is one XLA program. G, A, W_gen, the seen mask, the
+eval-split arrays, and the Sorensen similarity matrix are device-resident
+loop constants hoisted out of the sweep (the reference also hoists G and
+W_gen, ``findLambda.py:79-81``, but recomputes everything else);
+``lax.map`` iterates the lambda grid on-device, each iteration fusing
+diffusion -> Hadamard -> ranking -> all five raw metrics. F1 is defined on
+the 5-decimal ROUNDED P/R (``metrics/accurate.py:48-56``), so it stays in
+the host wrapper (``eval/metrics.py`` semantics).
+
+Lambda points are embarrassingly parallel, so ``sharded_lambda_sweep``
+splits the grid over EVERY device of a mesh (``shard_map`` over the
+flattened device array as one "sweep" axis — for a grid sweep the best use
+of the chips is one grid point per chip, not sharding each point's matmuls).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lgcnhs_tpu.ops import metrics_ops
+from lgcnhs_tpu.ops.topk import rank_exclude_seen
+
+SWEEP_AXIS = "sweep"
+
+# Column order of the metric rows returned by the sweep kernels.
+METRIC_COLUMNS = ("P", "R", "NDCG", "H", "I")
+
+
+def _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items):
+    """All five raw (unrounded) reference metrics for one (U, k) rec array."""
+    hits = metrics_ops.hit_matrix(rec, eval_pos)
+    p, r = metrics_ops.precision_recall_from_hits(hits, eval_counts, eval_present)
+    n = metrics_ops.ndcg_from_hits(hits, eval_present)
+    h = metrics_ops.hamming_distance(rec, n_items)
+    i = metrics_ops.internal_similarity_from_matrix(rec, S)
+    return jnp.stack([p, r, n, h, i])
+
+
+@partial(jax.jit, static_argnames=("k",))
+def lambda_sweep_metrics(
+    lambdas: jnp.ndarray,  # (L,) lambda grid
+    G: jnp.ndarray,  # (U, I) allocation matrix (masked layer-0 scores)
+    A: jnp.ndarray,  # (U, I) train+val interaction matrix
+    W_gen: jnp.ndarray,  # (I, I) general spreading matrix
+    seen: jnp.ndarray,  # (U, I) bool train+val positives
+    eval_pos: jnp.ndarray,  # (U, I) bool eval-split positives
+    eval_counts: jnp.ndarray,  # (U,)
+    eval_present: jnp.ndarray,  # (U,) bool
+    S: jnp.ndarray,  # (I, I) Sorensen similarity (metrics_ops.similarity_matrix)
+    k: int,
+) -> jnp.ndarray:
+    """(L, 5) raw metrics [P, R, NDCG, H, I] for every lambda, on-device.
+
+    Per grid point: W = W_gen / (k_i^(1-l) (x) k_j^l), F = A.W, rec =
+    rank_exclude_seen(G*F) — the exact SpreadLightGCNOpti serving semantics
+    (``findLambda.py:95-99``) — then the metric kernels on the device-resident
+    eval arrays. ``lax.map`` keeps one iteration's (U, I)/(I, I) temporaries
+    live at a time (a vmap over the grid would materialize (L, U, I))."""
+    k_item = jnp.sum(A, axis=0)
+    n_items = A.shape[1]
+
+    def body(lam):
+        alpha = jnp.power(k_item, 1.0 - lam)
+        beta = jnp.power(k_item, lam)
+        denom = alpha[:, None] * beta[None, :]
+        W = W_gen / jnp.where(denom == 0, 1.0, denom)
+        F = jnp.dot(
+            A, W, precision=jax.lax.Precision.HIGHEST, preferred_element_type=A.dtype
+        )
+        rec = rank_exclude_seen(G * F, seen, k, filter_seen=True)
+        return _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items)
+
+    return jax.lax.map(body, lambdas)
+
+
+def sharded_lambda_sweep(
+    mesh: Mesh,
+    lambdas,
+    G,
+    A,
+    W_gen,
+    seen,
+    eval_pos,
+    eval_counts,
+    eval_present,
+    S,
+    k: int,
+) -> jnp.ndarray:
+    """(L, 5) metrics with the lambda grid sharded over ALL devices of
+    ``mesh`` (its (data, model) axes flattened into one "sweep" axis; the
+    operands are replicated — at sweep scale the grid axis, not the catalog,
+    is what parallelizes). The grid is padded to the device count with
+    repeats of the last lambda and the padding dropped from the result."""
+    devices = mesh.devices.reshape(-1)
+    n_dev = devices.size
+    lambdas = jnp.asarray(lambdas, jnp.float32)
+    L = lambdas.shape[0]
+    pad = (-L) % n_dev
+    if pad:
+        lambdas = jnp.concatenate([lambdas, jnp.repeat(lambdas[-1:], pad)])
+    sweep_mesh = Mesh(devices, (SWEEP_AXIS,))
+
+    local = lambda lams, G, A, Wg, sn, ep, ec, pr, S: lambda_sweep_metrics(
+        lams, G, A, Wg, sn, ep, ec, pr, S, k
+    )
+    run = jax.jit(
+        shard_map(
+            local,
+            mesh=sweep_mesh,
+            in_specs=(P(SWEEP_AXIS),) + (P(),) * 8,
+            out_specs=P(SWEEP_AXIS),
+            check_vma=False,
+        )
+    )
+    out = run(lambdas, G, A, W_gen, seen, eval_pos, eval_counts, eval_present, S)
+    return out[:L]
+
+
+def sweep_rows(lambdas, metrics: np.ndarray) -> list:
+    """Host-side finishing: per-lambda dicts with the reference's 5-decimal
+    rounding and F1-of-rounded-P/R semantics (``metrics/accurate.py:46-56``),
+    matching ``eval/metrics.evaluate_recommendations`` key order."""
+    rows = []
+    for lam, row in zip(np.asarray(lambdas).tolist(), np.asarray(metrics)):
+        p, r, n, h, i = (round(float(v), 5) for v in row)
+        f1 = 0.0 if p + r == 0 else round(2 * p * r / (p + r), 5)
+        rows.append(
+            {"lambda": round(float(lam), 4), "P": p, "R": r, "F1": f1,
+             "NDCG": n, "H": h, "I": i}
+        )
+    return rows

@@ -36,3 +36,17 @@ def test_bench_reference_diffusion_row(monkeypatch):
     if ref_s is None:
         return  # /root/reference not mounted
     assert ref_s > 0 and ours_s > 0
+
+
+def test_bench_lambda_sweep_row(monkeypatch):
+    monkeypatch.setattr(bench, "SWEEP_USERS", 40)
+    monkeypatch.setattr(bench, "SWEEP_ITEMS", 60)
+    monkeypatch.setattr(bench, "SWEEP_INTERACTIONS", 1500)
+    monkeypatch.setattr(bench, "EMBED_DIM", 8)
+    monkeypatch.setattr(bench, "K", 5)
+    monkeypatch.setattr(bench, "LAMBDA_POINTS", 3)
+    monkeypatch.setattr(bench, "REF_SWEEP_ITERS", 1)
+    ours_s, ref_iter_s = bench.bench_lambda_sweep()
+    assert ours_s > 0
+    if ref_iter_s is not None:  # /root/reference mounted
+        assert ref_iter_s > 0

@@ -1,0 +1,122 @@
+"""Fused on-device lambda sweep (ops/sweep.py) vs the per-lambda host path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lgcnhs_tpu.config import load_config
+from lgcnhs_tpu.data.graph import build_graph, interaction_matrix, pos_bool_matrix
+from lgcnhs_tpu.data.ratings import prepare_ratings
+from lgcnhs_tpu.data.synthetic import synthesize_movielens_like
+from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
+from lgcnhs_tpu.models.fusion import allocate_matrix
+from lgcnhs_tpu.models.lightgcn import init_lightgcn
+from lgcnhs_tpu.ops import metrics_ops
+from lgcnhs_tpu.ops.diffusion import general_spreading_matrix, hybrid_resource
+from lgcnhs_tpu.ops.sweep import (
+    METRIC_COLUMNS,
+    lambda_sweep_metrics,
+    sharded_lambda_sweep,
+    sweep_rows,
+)
+from lgcnhs_tpu.ops.topk import rank_exclude_seen
+from lgcnhs_tpu.runtime.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = load_config(env="dev", dataset="synthetic", model="SpreadLightGCNOpti")
+    df = synthesize_movielens_like(40, 70, 1500, seed=21)
+    splits = prepare_ratings(df, cfg)
+    graph = build_graph(splits)
+    ctx = EvalContext.build(
+        graph.n_users, graph.n_items, graph.test, graph.train, graph.val
+    )
+    params = init_lightgcn(jax.random.PRNGKey(3), graph.n_users, graph.n_items, 16)
+    A = jnp.asarray(
+        interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    )
+    seen = jnp.asarray(
+        pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    )
+    G = allocate_matrix(params, seen)
+    W_gen = general_spreading_matrix(A)
+    S = metrics_ops.similarity_matrix(
+        jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg)
+    )
+    args = (
+        G, A, W_gen, seen,
+        jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
+        jnp.asarray(ctx.eval_present), S,
+    )
+    return cfg, graph, ctx, args
+
+
+def test_internal_similarity_from_matrix_matches_bilinear(setup):
+    _, graph, ctx, args = setup
+    rng = np.random.default_rng(0)
+    rec = jnp.asarray(
+        np.stack([
+            rng.choice(graph.n_items, size=5, replace=False)
+            for _ in range(graph.n_users)
+        ]).astype(np.int32)
+    )
+    S = args[-1]
+    got = metrics_ops.internal_similarity_from_matrix(rec, S)
+    want = metrics_ops.internal_similarity(
+        rec, jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+
+def test_device_sweep_matches_per_lambda_host_path(setup):
+    """One lax.map program == the per-lambda jit + host evaluate path,
+    for every metric, at every grid point."""
+    cfg, graph, ctx, args = setup
+    G, A, W_gen, seen = args[:4]
+    lambdas = np.asarray([0.0, 0.3, 0.5, 0.85, 1.0], np.float32)
+
+    metrics = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
+    assert metrics.shape == (len(lambdas), len(METRIC_COLUMNS))
+    rows = sweep_rows(lambdas, metrics)
+
+    for lam, row in zip(lambdas, rows):
+        F = hybrid_resource(A, W_gen, jnp.float32(lam))
+        rec = np.asarray(rank_exclude_seen(G * F, seen, cfg.k, filter_seen=True))
+        want = evaluate_recommendations(ctx, rec)
+        for key in ("P", "R", "NDCG", "H"):
+            assert row[key] == want[key], (lam, key, row, want)
+        # I uses a gather formulation vs the host bilinear form: identical
+        # math, different float contraction order
+        assert abs(row["I"] - want["I"]) < 1e-4, (lam, row, want)
+        assert abs(row["F1"] - want["F1"]) < 1e-4, (lam, row, want)
+
+
+@pytest.mark.parametrize("n_lambdas", [3, 11])
+def test_sharded_sweep_matches_single_device(setup, n_lambdas):
+    """Grid sharded over all 8 fake devices (incl. padding when the grid
+    does not divide the device count) == the single-device sweep."""
+    cfg, _, _, args = setup
+    lambdas = np.linspace(0.0, 1.0, n_lambdas).astype(np.float32)
+    mesh = make_mesh((2, 4))
+    got = np.asarray(sharded_lambda_sweep(mesh, lambdas, *args, k=cfg.k))
+    want = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
+    assert got.shape == want.shape == (n_lambdas, len(METRIC_COLUMNS))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+def test_find_lambda_cli_with_mesh(tmp_path):
+    """The findLambda driver end-to-end with the grid sharded over a mesh."""
+    from lgcnhs_tpu.cli import find_lambda as find_lambda_cli
+
+    df = find_lambda_cli.main(
+        [
+            "--dataset", "synthetic", "--env", "dev",
+            "--users", "40", "--items", "70", "--interactions", "1500",
+            "--epochs", "8", "--model", "SpreadLightGCNOpti",
+            "--workdir", str(tmp_path), "--step", "0.25", "--mesh", "2,4",
+        ]
+    )
+    assert list(df["lambda"]) == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert set(df.columns) == {"lambda", "P", "R", "F1", "NDCG", "H", "I"}
+    assert np.isfinite(df.drop(columns="lambda").to_numpy()).all()
