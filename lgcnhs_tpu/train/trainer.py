@@ -71,9 +71,22 @@ def lr_schedule(lr0: float, gamma: float, decay_every: int):
 
     def schedule(step):
         exponent = jnp.maximum(0, (step - 1) // decay_every)
-        return lr0 * jnp.power(gamma, exponent.astype(jnp.float32))
+        # int exponent promotes to the ambient default float (f32; f64 under
+        # jax_enable_x64 so the optimizer-trajectory differential is exact)
+        return lr0 * jnp.power(gamma, exponent)
 
     return schedule
+
+
+def make_optimizer(hp) -> optax.GradientTransformation:
+    """The reference's optimizer stack as one optax transform:
+    ``torch.optim.Adam(lr)`` + ``ExponentialLR(gamma)`` stepped per the
+    epoch rule above (``model/LightGCN/train.py:104-105,180-181``).
+    Trajectory pinned against torch's actual Adam+ExponentialLR in
+    tests/test_reference_differential.py."""
+    return optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
 
 
 def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
@@ -343,9 +356,7 @@ def train_lightgcn(
                 cfg.compute.mesh_shape,
             )
 
-    optimizer = optax.inject_hyperparams(optax.adam)(
-        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
-    )
+    optimizer = make_optimizer(hp)
 
     # eval-side tensors shared by every path (true, unpadded shapes)
     val_edge_users = jnp.asarray(graph.val.users)

@@ -1198,3 +1198,82 @@ def test_training_forward_and_bpr_step_match_reference_model(reference):
         np.testing.assert_allclose(np.asarray(grads.item_emb), gi_ref, atol=1e-10)
     finally:
         jax.config.update("jax_enable_x64", x64_was)
+
+
+def test_optimizer_trajectory_matches_torch_adam_explr():
+    """Pin the trainer's optax optimizer stack against the reference's ACTUAL
+    optimizer: ``torch.optim.Adam(lr)`` + ``ExponentialLR(gamma)`` stepped by
+    ``if epoch % epoch_per_lr_decay == 0 and epoch != 0: scheduler.step()``
+    (model/LightGCN/train.py:104-105,140-144,180-181).
+
+    Both sides consume the IDENTICAL float64 gradient stream for 13 epochs
+    spanning three decay boundaries (decay_every=4 -> decays land after
+    epochs 4, 8, 12); the parameter trajectories must agree to machine
+    epsilon at every epoch. This closes the last train-loop semantic not
+    pinned by executing reference(-dependency) code: the forward/loss/grad
+    differential above plus this trajectory differential jointly cover the
+    whole update ``optimizer.zero_grad(); loss.backward(); optimizer.step()``.
+    """
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lgcnhs_tpu.models.lightgcn import LightGCNParams
+    from lgcnhs_tpu.train.trainer import make_optimizer
+
+    lr0, gamma, decay_every, epochs = 1e-2, 0.9, 4, 13
+    rng = np.random.default_rng(0)
+    u0 = rng.standard_normal((6, 4))
+    i0 = rng.standard_normal((9, 4))
+    grad_stream = [
+        (rng.standard_normal((6, 4)), rng.standard_normal((9, 4)))
+        for _ in range(epochs)
+    ]
+
+    # --- the reference's optimizer stack, verbatim semantics ---------------
+    default_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        tu = torch.nn.Parameter(torch.from_numpy(u0.copy()))
+        ti = torch.nn.Parameter(torch.from_numpy(i0.copy()))
+        opt = torch.optim.Adam([tu, ti], lr=lr0)  # train.py:104
+        sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=gamma)
+        traj_ref = []
+        for epoch in range(epochs):
+            opt.zero_grad()  # train.py:140
+            tu.grad = torch.from_numpy(grad_stream[epoch][0])
+            ti.grad = torch.from_numpy(grad_stream[epoch][1])
+            opt.step()  # train.py:144
+            if epoch % decay_every == 0 and epoch != 0:  # train.py:180-181
+                sched.step()
+            traj_ref.append(
+                (tu.detach().numpy().copy(), ti.detach().numpy().copy())
+            )
+    finally:
+        torch.set_default_dtype(default_dtype)
+
+    # --- ours: the exact transform train_lightgcn builds --------------------
+    hp = SimpleNamespace(lr=lr0, gamma=gamma, epoch_per_lr_decay=decay_every)
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        optimizer = make_optimizer(hp)
+        params = LightGCNParams(jnp.asarray(u0), jnp.asarray(i0))
+        state = optimizer.init(params)
+        for epoch in range(epochs):
+            grads = LightGCNParams(
+                jnp.asarray(grad_stream[epoch][0]),
+                jnp.asarray(grad_stream[epoch][1]),
+            )
+            updates, state = optimizer.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            np.testing.assert_allclose(
+                np.asarray(params.user_emb), traj_ref[epoch][0], atol=1e-14
+            )
+            np.testing.assert_allclose(
+                np.asarray(params.item_emb), traj_ref[epoch][1], atol=1e-14
+            )
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
