@@ -75,6 +75,51 @@ def rank_exclude_seen(
     return filtered[:, :k]
 
 
+@partial(jax.jit, static_argnames=("k", "filter_seen"))
+def rank_exclude_seen_topk(
+    resource: jnp.ndarray,  # (U, I)
+    seen: jnp.ndarray,  # (U, I) bool
+    k: int,
+    filter_seen: bool = True,
+) -> jnp.ndarray:
+    """``rank_exclude_seen`` computed with two width-I top-k selections
+    instead of two full-width stable argsorts — identical indices
+    (tie rule and seen-backfill included; equality pinned in
+    tests/test_topk.py), ~O(I·k) selection instead of O(I log I) sort.
+
+    The tie rule (value descending, ties -> HIGHER index first) is exactly
+    ``lax.top_k`` — which breaks ties lowest-index-first — applied to the
+    item-REVERSED score row; reversing the axis makes "lowest reversed
+    index" = "highest original index". Seen-before-unseen partitioning and
+    the <k-unseen backfill are two such selections merged by prefix length:
+    positions < min(k, unseen_count) come from the unseen selection, the
+    rest from the best-seen selection (``model/SpreadMethod/recommend.py:
+    35-50`` semantics; backfill documented at ``rank_exclude_seen``).
+    """
+    I = resource.shape[1]
+    rev = resource[:, ::-1]
+
+    def _topk_rev(scores_rev):
+        _, idx_rev = jax.lax.top_k(scores_rev, k)
+        return (I - 1) - idx_rev
+
+    if not filter_seen:
+        return _topk_rev(rev)
+
+    seen_rev = seen[:, ::-1]
+    neg_inf = jnp.array(-jnp.inf, resource.dtype)
+    unseen_idx = _topk_rev(jnp.where(seen_rev, neg_inf, rev))
+    seen_idx = _topk_rev(jnp.where(seen_rev, rev, neg_inf))
+
+    n_unseen = jnp.sum(~seen, axis=1, keepdims=True)  # (U, 1)
+    slot = jnp.arange(k)[None, :]
+    from_unseen = slot < n_unseen
+    # slots past the unseen supply read the best-seen list from position 0
+    backfill_pos = jnp.clip(slot - n_unseen, 0, k - 1)
+    backfill = jnp.take_along_axis(seen_idx, backfill_pos, axis=1)
+    return jnp.where(from_unseen, unseen_idx, backfill)
+
+
 def retrieve_topk(
     user_emb: jnp.ndarray,
     item_emb: jnp.ndarray,

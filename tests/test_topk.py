@@ -49,3 +49,55 @@ def test_rank_all_zero_resource_ties():
     got = np.asarray(rank_exclude_seen(F, seen, 4))
     want = ref.ref_rank_filter(F, _seen_lists(seen), 4)
     np.testing.assert_array_equal(got, want)
+
+
+class TestRankExcludeSeenTopk:
+    """rank_exclude_seen_topk must be bit-identical to rank_exclude_seen."""
+
+    def _compare(self, resource, seen, k, filter_seen=True):
+        from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
+
+        a = np.asarray(rank_exclude_seen(resource, seen, k, filter_seen))
+        b = np.asarray(rank_exclude_seen_topk(resource, seen, k, filter_seen))
+        np.testing.assert_array_equal(a, b)
+
+    def test_random_scores(self):
+        rng = np.random.default_rng(0)
+        resource = rng.standard_normal((37, 53)).astype(np.float32)
+        seen = rng.random((37, 53)) < 0.3
+        for k in (1, 5, 10):
+            self._compare(resource, seen, k)
+
+    def test_heavy_ties(self):
+        rng = np.random.default_rng(1)
+        # scores drawn from 4 distinct values -> massive tie groups
+        resource = rng.integers(0, 4, (29, 41)).astype(np.float32)
+        seen = rng.random((29, 41)) < 0.4
+        self._compare(resource, seen, 7)
+
+    def test_all_tied(self):
+        resource = np.zeros((5, 12), np.float32)
+        seen = np.zeros((5, 12), bool)
+        seen[2, :3] = True
+        self._compare(resource, seen, 6)
+
+    def test_backfill_users_with_few_unseen(self):
+        rng = np.random.default_rng(2)
+        resource = rng.standard_normal((8, 20)).astype(np.float32)
+        seen = np.zeros((8, 20), bool)
+        seen[0] = True            # zero unseen -> all k backfilled
+        seen[1, :15] = True       # 5 unseen < k=9 -> partial backfill
+        seen[2, 1:] = True        # exactly 1 unseen
+        self._compare(resource, seen, 9)
+
+    def test_no_filter_quirk(self):
+        rng = np.random.default_rng(3)
+        resource = rng.integers(0, 3, (11, 17)).astype(np.float32)
+        seen = rng.random((11, 17)) < 0.5
+        self._compare(resource, seen, 4, filter_seen=False)
+
+    def test_negative_scores(self):
+        rng = np.random.default_rng(4)
+        resource = -np.abs(rng.standard_normal((9, 15)).astype(np.float32)) - 1e3
+        seen = rng.random((9, 15)) < 0.3
+        self._compare(resource, seen, 5)
