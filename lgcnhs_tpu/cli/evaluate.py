@@ -3,7 +3,7 @@
 Re-design of ``evaluationMetrics.py:19-98``: for each k in a list and each
 model, load the cached recommendation matrix and compute all six metrics.
 The reference rebuilds every eval-side array per (k, model) pair
-(``evaluationMetrics.py:63-69``); we build the EvalContext once per k.
+(``evaluationMetrics.py:63-69``); we build the EvalContext exactly once.
 Output: one CSV per k plus a combined report (the reference writes an Excel
 workbook; openpyxl is optional here, CSV is the durable format).
 """
@@ -36,11 +36,13 @@ def main(argv=None) -> dict:
     graph, _, _ = load_pipeline(cfg)
     cache = ArtifactCache(cfg.recommend_path)
 
+    # k-independent: built once for all k (the redundancy the module
+    # docstring calls out in the reference's evaluationMetrics.py:63-69).
+    ctx = EvalContext.build(
+        graph.n_users, graph.n_items, graph.test, graph.train, graph.val
+    )
     sheets = {}
     for k in args.ks:
-        ctx = EvalContext.build(
-            graph.n_users, graph.n_items, graph.test, graph.train, graph.val
-        )
         rows = []
         for model in args.models:
             rec = cache.load_recommendations(f"all_user_recommend_{model}_{k}")

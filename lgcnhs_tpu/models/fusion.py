@@ -31,7 +31,7 @@ from lgcnhs_tpu.config import Config
 from lgcnhs_tpu.data.graph import InteractionGraph, interaction_matrix, pos_bool_matrix
 from lgcnhs_tpu.models.lightgcn import LightGCNParams, layer0_scores
 from lgcnhs_tpu.ops.diffusion import general_spreading_matrix, hybrid_resource
-from lgcnhs_tpu.ops.topk import MASK_VALUE, rank_exclude_seen
+from lgcnhs_tpu.ops.topk import MASK_VALUE, rank_exclude_seen_topk
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
 
 
@@ -57,7 +57,7 @@ def fused_recommend(
     W_gen = general_spreading_matrix(A)
     F = hybrid_resource(A, W_gen, lam)
     F_new = G * F
-    return rank_exclude_seen(F_new, seen, k, filter_seen=True)
+    return rank_exclude_seen_topk(F_new, seen, k, filter_seen=True)
 
 
 def fusion_scores(

@@ -21,7 +21,7 @@ import numpy as np
 from lgcnhs_tpu.config import Config
 from lgcnhs_tpu.data.graph import InteractionGraph, interaction_matrix, pos_bool_matrix
 from lgcnhs_tpu.ops.diffusion import diffusion_scores
-from lgcnhs_tpu.ops.topk import rank_exclude_seen
+from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
 
 SPREAD_METHODS = ("ProbS", "HeatS", "HybridS")
@@ -72,5 +72,7 @@ def recommend_spread_method(
         )
         F = spread_scores(A, method, cfg.dataset, cfg.hparams.lambda_)
         seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
-        rec = rank_exclude_seen(F, jnp.asarray(seen), cfg.k, filter_seen=filter_seen)
+        rec = rank_exclude_seen_topk(
+            F, jnp.asarray(seen), cfg.k, filter_seen=filter_seen
+        )
     return np.asarray(rec)

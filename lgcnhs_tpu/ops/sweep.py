@@ -33,7 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lgcnhs_tpu.ops import metrics_ops
-from lgcnhs_tpu.ops.topk import rank_exclude_seen
+from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
 
 SWEEP_AXIS = "sweep"
 
@@ -82,7 +82,7 @@ def lambda_sweep_metrics(
         F = jnp.dot(
             A, W, precision=jax.lax.Precision.HIGHEST, preferred_element_type=A.dtype
         )
-        rec = rank_exclude_seen(G * F, seen, k, filter_seen=True)
+        rec = rank_exclude_seen_topk(G * F, seen, k, filter_seen=True)
         return _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items)
 
     return jax.lax.map(body, lambdas)

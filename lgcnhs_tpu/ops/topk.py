@@ -95,8 +95,17 @@ def rank_exclude_seen_topk(
     positions < min(k, unseen_count) come from the unseen selection, the
     rest from the best-seen selection (``model/SpreadMethod/recommend.py:
     35-50`` semantics; backfill documented at ``rank_exclude_seen``).
+
+    Precondition (with ``filter_seen=True``): UNSEEN scores must be finite.
+    -inf is the seen-mask sentinel here, so a genuine -inf unseen score ties
+    with masked seen entries and the index tiebreak may diverge from
+    ``rank_exclude_seen``. All production scorers satisfy this (diffusion
+    resources are finite non-negative; fused G*F is finite) — -inf is only
+    ever written into SEEN/padded entries, which is safe. k > I is clamped
+    to I, matching ``rank_exclude_seen``'s I-wide slice.
     """
     I = resource.shape[1]
+    k = min(k, I)
     rev = resource[:, ::-1]
 
     def _topk_rev(scores_rev):

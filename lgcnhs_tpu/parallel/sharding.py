@@ -295,7 +295,7 @@ def distributed_rank_exclude_seen(
     ProbS-on-movielens quirk, ``model/SpreadMethod/recommend.py:48-50``) the
     order drops the seen key and -inf padding still ranks last.
     """
-    from lgcnhs_tpu.ops.topk import rank_exclude_seen
+    from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
 
     n_shards = mesh.shape[MODEL_AXIS]
     n_items = scores.shape[1]
@@ -312,7 +312,9 @@ def distributed_rank_exclude_seen(
         raise ValueError(f"k={k} exceeds shard width {block}")
 
     def local(scores_blk, seen_blk):
-        order = rank_exclude_seen(scores_blk, seen_blk, k, filter_seen)
+        # O(block·k) selection kernel; -inf only appears in padded SEEN
+        # columns, satisfying its finite-unseen-scores precondition.
+        order = rank_exclude_seen_topk(scores_blk, seen_blk, k, filter_seen)
         base = jax.lax.axis_index(MODEL_AXIS) * block
         vals = jnp.take_along_axis(scores_blk, order, axis=1)
         sel_seen = jnp.take_along_axis(seen_blk, order, axis=1)

@@ -101,3 +101,22 @@ class TestRankExcludeSeenTopk:
         resource = -np.abs(rng.standard_normal((9, 15)).astype(np.float32)) - 1e3
         seen = rng.random((9, 15)) < 0.3
         self._compare(resource, seen, 5)
+
+    def test_k_exceeds_catalog_clamps(self):
+        """k > I returns the same I-wide result as rank_exclude_seen's slice
+        (ADVICE r2: lax.top_k would raise without the clamp)."""
+        rng = np.random.default_rng(5)
+        resource = rng.standard_normal((6, 9)).astype(np.float32)
+        seen = rng.random((6, 9)) < 0.3
+        for filter_seen in (True, False):
+            self._compare(resource, seen, 15, filter_seen=filter_seen)
+
+    def test_neg_inf_seen_entries_are_safe(self):
+        """-inf in SEEN entries (the distributed path's padding) is within
+        the documented precondition and must stay bit-identical."""
+        rng = np.random.default_rng(6)
+        resource = rng.standard_normal((7, 13)).astype(np.float32)
+        seen = rng.random((7, 13)) < 0.3
+        seen[:, -3:] = True
+        resource[:, -3:] = -np.inf
+        self._compare(resource, seen, 5)
