@@ -45,9 +45,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument(
         "--fetch",
         action="store_true",
-        help="opt-in: download ML-100K (~5 MB, files.grouplens.org, "
-        "md5-verified) into <workdir>/data when the raw files are absent; "
-        "logged no-op without network egress",
+        help="opt-in: download the dataset (ML-100K ~5 MB / ML-1M ~6 MB, "
+        "files.grouplens.org, md5-verified) into <workdir>/data when the raw "
+        "files are absent; logged no-op without network egress",
     )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
@@ -124,15 +124,19 @@ def config_from_args(args: argparse.Namespace) -> Config:
                 raise SystemExit(f"--mesh expects DATA,MODEL (got {args.mesh!r})")
             overrides["compute.mesh_shape"] = parts
     if getattr(args, "data_dir", None):
-        from lgcnhs_tpu.data.fetch import ml100k_paths
+        from lgcnhs_tpu.data.fetch import ml100k_paths, ml1m_paths
 
-        overrides["preprocessing.dataset_paths"] = ml100k_paths(args.data_dir)
-    elif getattr(args, "fetch", False) and args.dataset == "movielens":
+        path_fn = ml1m_paths if args.dataset == "movielens1m" else ml100k_paths
+        overrides["preprocessing.dataset_paths"] = path_fn(args.data_dir)
+    elif getattr(args, "fetch", False) and args.dataset in (
+        "movielens", "movielens1m"
+    ):
         import os
 
-        from lgcnhs_tpu.data.fetch import fetch_ml100k
+        from lgcnhs_tpu.data.fetch import fetch_ml100k, fetch_ml1m
 
-        paths = fetch_ml100k(os.path.join(args.workdir, "data"))
+        fetch_fn = fetch_ml1m if args.dataset == "movielens1m" else fetch_ml100k
+        paths = fetch_fn(os.path.join(args.workdir, "data"))
         if paths is not None:
             overrides["preprocessing.dataset_paths"] = paths
     cfg = load_config(

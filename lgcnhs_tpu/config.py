@@ -32,7 +32,7 @@ MODEL_NAMES = (
     "SpreadLightGCNOpti",
 )
 
-DATASETS = ("movielens", "douban", "synthetic")
+DATASETS = ("movielens", "movielens1m", "douban", "synthetic")
 
 
 @dataclass(frozen=True)
@@ -209,7 +209,10 @@ def load_config(
     k = 10 if env == "dev" else 100
 
     pre_kwargs: Dict[str, Any] = {}
-    if dataset == "movielens":
+    if dataset in ("movielens", "movielens1m"):
+        # ML-1M shares every movielens preprocessing preset (same rating
+        # semantics, same quantile band, same title vec size); only the raw
+        # schema differs (data/movielens1m.py).
         pre_kwargs.update(
             columns_map={
                 "user_id": "user",
@@ -237,6 +240,15 @@ def load_config(
         pre_kwargs.update(quantile_start=1.0, quantile_end=0.0)
 
     hp = HyperParameters(epochs=epochs, lambda_=_lambda_for(model, env))
+    top_kwargs: Dict[str, Any] = {}
+    if dataset == "movielens1m":
+        # Synthetic stand-in scale when the raw ml-1m files are absent:
+        # the real distribution's post-filter entity counts.
+        top_kwargs.update(
+            synthetic_users=6040,
+            synthetic_items=3706,
+            synthetic_interactions=1_000_209,
+        )
     cfg = Config(
         env=env,
         dataset=dataset,
@@ -245,6 +257,7 @@ def load_config(
         preprocessing=PreprocessingConfig(**pre_kwargs),
         hparams=hp,
         k=k,
+        **top_kwargs,
     )
 
     if overrides:

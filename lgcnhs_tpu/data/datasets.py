@@ -35,12 +35,16 @@ def load_dataset(cfg: Config) -> Tuple[RatingSplits, np.ndarray, np.ndarray]:
         from lgcnhs_tpu.data.movielens import prepare_movielens
 
         return prepare_movielens(cfg, save_path)
+    if cfg.dataset == "movielens1m" and have_raw:
+        from lgcnhs_tpu.data.movielens1m import prepare_movielens1m
+
+        return prepare_movielens1m(cfg, save_path)
     if cfg.dataset == "douban" and have_raw:
         from lgcnhs_tpu.data.douban import prepare_douban
 
         return prepare_douban(cfg, save_path)
 
-    if cfg.dataset in ("movielens", "douban"):
+    if cfg.dataset in ("movielens", "movielens1m", "douban"):
         log.info(
             "%s raw files not found; synthesizing a seeded stand-in dataset",
             cfg.dataset,

@@ -1,4 +1,4 @@
-"""Opt-in dataset acquisition (ML-100K).
+"""Opt-in dataset acquisition (ML-100K and ML-1M).
 
 The reference assumes the raw files already sit at hardcoded local paths
 (``const.py:200-244``); this module gives the pipeline an acquisition path
@@ -27,39 +27,61 @@ ML100K_FILES = {
     "occupation": "u.occupation",
 }
 
+ML1M_URL = "https://files.grouplens.org/datasets/movielens/ml-1m.zip"
+# Published by GroupLens alongside the archive (ml-1m.zip).
+ML1M_MD5 = "c4d9eecfca2ab87c1945afe126590906"
+# The three files the 1M pipeline consumes (data/movielens1m.py).
+ML1M_FILES = {
+    "rating": "ratings.dat",
+    "users": "users.dat",
+    "items": "movies.dat",
+}
+
 
 def ml100k_paths(data_dir: str) -> Dict[str, str]:
     """dataset_paths dict for an extracted ml-100k directory."""
     return {key: os.path.join(data_dir, name) for key, name in ML100K_FILES.items()}
 
 
+def ml1m_paths(data_dir: str) -> Dict[str, str]:
+    """dataset_paths dict for an extracted ml-1m directory."""
+    return {key: os.path.join(data_dir, name) for key, name in ML1M_FILES.items()}
+
+
 def have_ml100k(data_dir: str) -> bool:
     return all(os.path.exists(p) for p in ml100k_paths(data_dir).values())
 
 
-def fetch_ml100k(
-    dest_dir: str,
-    url: str = ML100K_URL,
-    md5: Optional[str] = ML100K_MD5,
-    timeout: float = 60.0,
-) -> Optional[Dict[str, str]]:
-    """Download + verify + extract ML-100K into ``dest_dir/ml-100k``.
+def have_ml1m(data_dir: str) -> bool:
+    return all(os.path.exists(p) for p in ml1m_paths(data_dir).values())
 
-    Returns the dataset_paths dict, or None when the files can't be obtained
-    (no egress, checksum mismatch) — callers fall back to the synthetic
-    stand-in exactly as when raw files are absent.
-    """
+
+def _fetch_archive(
+    dest_dir: str,
+    archive_name: str,
+    member_dir: str,
+    files: Dict[str, str],
+    url: str,
+    md5: Optional[str],
+    timeout: float,
+) -> Optional[Dict[str, str]]:
+    """Download + md5-verify + extract a GroupLens-style zip whose members
+    live under ``member_dir/``. Returns the dataset_paths dict, or None when
+    the files can't be obtained (no egress, checksum mismatch, bad archive)
+    — callers fall back to the synthetic stand-in exactly as when raw files
+    are absent."""
     log = get_logger()
-    data_dir = os.path.join(dest_dir, "ml-100k")
-    if have_ml100k(data_dir):
-        log.info("ml-100k already present at %s", data_dir)
-        return ml100k_paths(data_dir)
+    data_dir = os.path.join(dest_dir, member_dir)
+    paths = {key: os.path.join(data_dir, name) for key, name in files.items()}
+    if all(os.path.exists(p) for p in paths.values()):
+        log.info("%s already present at %s", member_dir, data_dir)
+        return paths
 
     import urllib.error
     import urllib.request
 
     os.makedirs(dest_dir, exist_ok=True)
-    zip_path = os.path.join(dest_dir, "ml-100k.zip")
+    zip_path = os.path.join(dest_dir, archive_name)
     try:
         log.info("fetching %s", url)
         with urllib.request.urlopen(url, timeout=timeout) as resp, open(
@@ -71,7 +93,7 @@ def fetch_ml100k(
                     break
                 out.write(chunk)
     except (urllib.error.URLError, OSError, TimeoutError) as exc:
-        log.warning("ml-100k fetch failed (no egress?): %s", exc)
+        log.warning("%s fetch failed (no egress?): %s", archive_name, exc)
         return None
 
     if md5:
@@ -81,19 +103,45 @@ def fetch_ml100k(
                 digest.update(chunk)
         if digest.hexdigest() != md5:
             log.error(
-                "ml-100k.zip checksum mismatch: got %s want %s — refusing",
-                digest.hexdigest(), md5,
+                "%s checksum mismatch: got %s want %s — refusing",
+                archive_name, digest.hexdigest(), md5,
             )
             os.unlink(zip_path)
             return None
 
     with zipfile.ZipFile(zip_path) as z:
-        wanted = {f"ml-100k/{name}" for name in ML100K_FILES.values()}
+        wanted = {f"{member_dir}/{name}" for name in files.values()}
         members = [m for m in z.namelist() if m in wanted]
         if len(members) != len(wanted):
-            log.error("ml-100k.zip missing expected members: %s", wanted - set(members))
+            log.error(
+                "%s missing expected members: %s", archive_name, wanted - set(members)
+            )
             return None
         z.extractall(dest_dir, members=members)
     os.unlink(zip_path)
-    log.info("ml-100k extracted to %s", data_dir)
-    return ml100k_paths(data_dir)
+    log.info("%s extracted to %s", member_dir, data_dir)
+    return paths
+
+
+def fetch_ml100k(
+    dest_dir: str,
+    url: str = ML100K_URL,
+    md5: Optional[str] = ML100K_MD5,
+    timeout: float = 60.0,
+) -> Optional[Dict[str, str]]:
+    """Download + verify + extract ML-100K into ``dest_dir/ml-100k``."""
+    return _fetch_archive(
+        dest_dir, "ml-100k.zip", "ml-100k", ML100K_FILES, url, md5, timeout
+    )
+
+
+def fetch_ml1m(
+    dest_dir: str,
+    url: str = ML1M_URL,
+    md5: Optional[str] = ML1M_MD5,
+    timeout: float = 120.0,
+) -> Optional[Dict[str, str]]:
+    """Download + verify + extract ML-1M (~6 MB) into ``dest_dir/ml-1m``."""
+    return _fetch_archive(
+        dest_dir, "ml-1m.zip", "ml-1m", ML1M_FILES, url, md5, timeout
+    )

@@ -31,6 +31,11 @@ def resolve_spread_variant(method: str, dataset: str, lam: float):
     """(effective lambda, transpose_w, filter_seen) after dataset overrides."""
     if method not in SPREAD_METHODS:
         raise ValueError(f"method must be one of {SPREAD_METHODS}, got {method!r}")
+    # ML-1M inherits the movielens quirks: the reference keys them on the
+    # config string DATASET == "movielens" (recommend.py:87-105), which is
+    # what a reference user would set when pointing it at the ml-1m files.
+    if dataset == "movielens1m":
+        dataset = "movielens"
     transpose_w = False
     filter_seen = True
     if method == "ProbS":

@@ -17,7 +17,7 @@ def _tiny(monkeypatch):
 
 
 def test_bench_train_runs_tiny(monkeypatch):
-    cfg, hp, graph = _tiny(monkeypatch)
+    cfg, hp, graph, _prov = _tiny(monkeypatch)
     for variant in ("xla_f32", "pallas_bf16", "binary"):
         # off-TPU the binary/pallas variants take their XLA fallbacks —
         # the point is the plumbing can't rot
@@ -26,7 +26,7 @@ def test_bench_train_runs_tiny(monkeypatch):
 
 
 def test_bench_serving_and_reference_rows_run_tiny(monkeypatch):
-    cfg, hp, graph = _tiny(monkeypatch)
+    cfg, hp, graph, _prov = _tiny(monkeypatch)
     assert bench.bench_retrieval(graph, reps=2) > 0
     assert bench.bench_serve_fused(graph, cfg.hparams.lambda_, reps=2) > 0
 
