@@ -90,3 +90,35 @@ def test_mesh_training_matches_single_device(graph, single_device_run, mesh_shap
     rec_fused_m = recommend_fused(graph, cfg, base.params)
     np.testing.assert_array_equal(rec_fused_m, rec_fused_1)
     assert (rec_fused_m < graph.n_items).all()  # padded ids unreachable
+
+
+def test_mesh_flagship_opti_with_features(graph):
+    """SpreadLightGCNOpti under the mesh: the LightGCNOpti feature-projection
+    init (init_lightgcn_opti) and feature plumbing must run sharded and match
+    the single-device product (VERDICT r2 item 6)."""
+    from lgcnhs_tpu.data.synthetic import synthesize_features
+
+    uf = synthesize_features(graph.n_users, 29, seed=5)
+    itf = synthesize_features(graph.n_items, 37, seed=6)
+
+    def run(mesh_shape):
+        cfg = _cfg(mesh_shape, epochs=4).replace(model="SpreadLightGCNOpti")
+        result = train_lightgcn(
+            graph, cfg, user_features=uf, item_features=itf, save_artifacts=False
+        )
+        rec = recommend_fused(graph, cfg, result.params)
+        return result, rec
+
+    base, rec_1 = run((1, 1))
+    sharded, rec_m = run((2, 4))
+
+    for name in base.history:
+        assert sharded.history[name] == pytest.approx(
+            base.history[name], abs=2e-5
+        ), name
+    np.testing.assert_allclose(
+        np.asarray(sharded.params.user_emb),
+        np.asarray(base.params.user_emb),
+        rtol=0, atol=1e-5,
+    )
+    np.testing.assert_array_equal(rec_m, rec_1)
