@@ -464,8 +464,12 @@ def train_lightgcn(
             # In the mixed-precision path the matmul input R_hat is cast ONCE
             # here, not inside the jitted step (45 MB -> 22 MB copy per step
             # at ML-1M scale); the propagate functions' .astype is a no-op.
+            # normalized_bipartite computes in f64 internally; requesting the
+            # configured dtype directly keeps the float64 parity path exact.
             r_dtype = jnp.bfloat16 if _bf16 else dtype
-            R_hat = jnp.asarray(normalized_bipartite(U, I, graph.train), r_dtype)
+            R_hat = jnp.asarray(
+                normalized_bipartite(U, I, graph.train, dtype=dtype), r_dtype
+            )
     else:
         from lgcnhs_tpu.ops.propagation import edge_gcn_norm
 
@@ -480,7 +484,9 @@ def train_lightgcn(
             return LightGCNParams(*jax.tree.map(jax.device_get, params))
 
         if propagation == "dense":
-            R_hat_val = jnp.asarray(normalized_bipartite(U, I, graph.val), dtype)
+            R_hat_val = jnp.asarray(
+                normalized_bipartite(U, I, graph.val, dtype=dtype), dtype
+            )
             train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
             val_pos = jnp.asarray(pos_bool_matrix(U, I, graph.val))
             train_interaction = jnp.asarray(interaction_matrix(U, I, graph.train))

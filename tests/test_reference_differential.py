@@ -1277,3 +1277,342 @@ def test_optimizer_trajectory_matches_torch_adam_explr():
             )
     finally:
         jax.config.update("jax_enable_x64", x64_was)
+
+
+def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
+    """Run the reference's ACTUAL ``trainLightGCN`` (model/LightGCN/
+    train.py:62-223) for 9 epochs (3 evals, 4 LR decays) against our
+    ``train_lightgcn``, both at float64 and both fed the IDENTICAL injected
+    triple stream, and require:
+
+      (a) the logged history table (train/val loss + all six val metrics,
+          the reference's own 5-decimal rounding) to be IDENTICAL, read back
+          from the CSV the reference itself writes
+      (b) the final embedding tables to agree to 1e-10
+
+    Injection points (all randomness, nothing else):
+      reference: ``structured_negative_sampling`` (real rejection semantics,
+        seeded per call) + ``random.choices`` (the minibatch draw) + the
+        torch-geometric stand-ins from the single-step test above
+      ours: ``trainer.sample_bpr_batch`` replaced by a PRNG-key-indexed
+        lookup of the SAME triples (the trainer's fold_in key stream is
+        deterministic, so each key maps to exactly one reference draw)
+
+    This closes the VERDICT r2 trained-path gap: single-step forward/loss/
+    grad and the optimizer trajectory were already pinned; this pins their
+    N-epoch composition through the real reference training loop (eval
+    cadence, LR-decay skip-0 rule, history bookkeeping) end to end.
+    """
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    if not REF_ROOT.exists():
+        pytest.skip("/root/reference not mounted")
+
+    U, I, D, layers = 12, 20, 8, 3
+    eps, lr, gamma = 1e-4, 1e-2, 0.9
+    epochs, eval_every, decay_every, B, k, seed = 9, 3, 2, 16, 4, 42
+
+    rng = np.random.default_rng(31)
+    eu, ei = _random_interactions(rng, U, I, 70)
+    vu, vi = _random_interactions(np.random.default_rng(32), U, I, 40)
+    E_t, E_v = len(eu), len(vu)
+    assert E_v != B  # the sampler stub dispatches on batch size
+
+    # ---- the injected randomness, precomputed once for both sides --------
+    def _sorted(us, its):
+        order = np.lexsort((its, us))
+        return us[order].astype(np.int64), its[order].astype(np.int64)
+
+    seu, sei = _sorted(eu, ei)  # convertAdjMatrixToEdgeIndex emits (u,i) sorted
+    svu, svi = _sorted(vu, vi)
+
+    def _draw_negs(us, its, call_seed):
+        # structured_negative_sampling's real semantics: per-edge uniform
+        # candidate in [0, edge_index.max()+1), rejected against that edge
+        # set's positive pairs (torch-geometric quirk the reference inherits)
+        r = np.random.default_rng(call_seed)
+        n_cand = int(max(us.max(), its.max())) + 1
+        pos = set(zip(us.tolist(), its.tolist()))
+        out = []
+        for u in us.tolist():
+            while True:
+                c = int(r.integers(0, n_cand))
+                if (u, c) not in pos:
+                    break
+            out.append(c)
+        return np.asarray(out, np.int64)
+
+    # call schedule exactly as trainLightGCN runs: one sns per epoch
+    # (sampleMiniBatch), plus one per eval epoch (calValLoss)
+    sns_queue = []  # (users, items, negs) per structured_negative_sampling call
+    train_negs, val_negs = {}, {}
+    call = 0
+    for e in range(epochs):
+        train_negs[e] = _draw_negs(seu, sei, 5000 + call)
+        sns_queue.append((seu, sei, train_negs[e]))
+        call += 1
+        if e % eval_every == 0:
+            val_negs[e] = _draw_negs(svu, svi, 5000 + call)
+            sns_queue.append((svu, svi, val_negs[e]))
+            call += 1
+    batch_idx = {
+        e: np.random.default_rng(6000 + e).integers(0, E_t, B) for e in range(epochs)
+    }
+
+    # ---- reference side: the actual trainLightGCN --------------------------
+    class _MessagePassing(torch.nn.Module):
+        def propagate(self, edge_index, x, norm):
+            src, dst = edge_index[0], edge_index[1]
+            msg = self.message(x[src], norm)
+            out = torch.zeros_like(x)
+            out.index_add_(0, dst, msg)
+            return out
+
+    def _gcn_norm(edge_index, add_self_loops):
+        assert add_self_loops is False
+        row, col = edge_index[0], edge_index[1]
+        n = int(edge_index.max()) + 1
+        deg = torch.zeros(n, dtype=torch.float64).index_add_(
+            0, col, torch.ones(col.shape[0], dtype=torch.float64)
+        )
+        dis = deg.pow(-0.5)
+        dis[torch.isinf(dis)] = 0.0
+        return edge_index, dis[row] * dis[col]
+
+    sns_iter = iter(sns_queue)
+
+    def _sns(edge_index, num_nodes=None, contains_neg_self_loops=True):
+        us, its, negs = next(sns_iter)
+        assert edge_index.shape[1] == len(us)
+        return (
+            torch.from_numpy(us), torch.from_numpy(its), torch.from_numpy(negs)
+        )
+
+    choices_iter = iter([batch_idx[e] for e in range(epochs)])
+
+    def _choices(population, k):
+        idx = next(choices_iter)
+        assert k == len(idx)
+        return idx.tolist()
+
+    class _SparseTensor:
+        def __init__(self, row, col, sparse_sizes):
+            self._dense = torch.zeros(sparse_sizes)
+            self._dense[row, col] = 1.0
+
+        def to_dense(self):
+            return self._dense
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    stubs = {
+        "torch_sparse": types.ModuleType("torch_sparse"),
+        "torch_geometric": types.ModuleType("torch_geometric"),
+        "torch_geometric.nn": types.ModuleType("torch_geometric.nn"),
+        "torch_geometric.nn.conv": types.ModuleType("torch_geometric.nn.conv"),
+        "torch_geometric.nn.conv.gcn_conv": types.ModuleType(
+            "torch_geometric.nn.conv.gcn_conv"
+        ),
+        "torch_geometric.utils": types.ModuleType("torch_geometric.utils"),
+        "model.LightGCN": types.ModuleType("model.LightGCN"),
+        "utils.picture": types.ModuleType("utils.picture"),
+    }
+    stubs["torch_sparse"].SparseTensor = _SparseTensor
+    stubs["torch_geometric"].__path__ = []
+    stubs["torch_geometric.nn"].__path__ = []
+    stubs["torch_geometric.nn.conv"].MessagePassing = _MessagePassing
+    stubs["torch_geometric.nn.conv.gcn_conv"].gcn_norm = _gcn_norm
+    stubs["torch_geometric.utils"].structured_negative_sampling = _sns
+    stubs["model.LightGCN"].__path__ = []
+    stubs["utils.picture"].plotMetric = lambda *a, **kw: None
+
+    ref_stub_names = ("const", "utils", "utils.log", "utils.wrapper",
+                      "utils.trans", "utils.graph", "model", "metrics",
+                      "metrics.accurate", "metrics.diversity",
+                      "model.LightGCN.model", "model.LightGCN.loss",
+                      "model.LightGCN.evaluation", "model.LightGCN.train")
+    saved = {n: sys.modules.get(n) for n in list(stubs) + list(ref_stub_names)}
+
+    hp_dict = {
+        "seed": seed, "embedding_dim": D, "layers": layers, "lr": lr,
+        "gamma": gamma, "epochs": epochs, "epoch_per_eval": eval_every,
+        "epoch_per_lr_decay": decay_every, "batch_size": B, "epsilon": eps,
+    }
+    cfg_stub = SimpleNamespace(
+        DATA_SET="douban",
+        MODEL={"name": "LightGCN", "HyperParameter": hp_dict,
+               "save_path": str(tmp_path) + "/"},
+        RECOMMEND={"k": k, "save_path": str(tmp_path) + "/"},
+        PICTURES={"save_path": str(tmp_path) + "/"},
+    )
+    utils_pkg = types.ModuleType("utils")
+    utils_pkg.__path__ = [str(REF_ROOT / "utils")]
+    log_stub = types.ModuleType("utils.log")
+    log_stub.logger = _NullLogger()
+    wrapper_stub = types.ModuleType("utils.wrapper")
+    wrapper_stub.calTimes = _cal_times_stub
+    const_stub = types.ModuleType("const")
+    const_stub.cfg = cfg_stub
+    model_pkg = types.ModuleType("model")
+    model_pkg.__path__ = [str(REF_ROOT / "model")]
+    metrics_pkg = types.ModuleType("metrics")
+    metrics_pkg.__path__ = [str(REF_ROOT / "metrics")]
+
+    sys.modules.update(stubs)
+    sys.modules.update({
+        "utils": utils_pkg, "utils.log": log_stub,
+        "utils.wrapper": wrapper_stub, "const": const_stub,
+        "model": model_pkg, "metrics": metrics_pkg,
+    })
+    saved_choices = None
+    default_dtype = torch.get_default_dtype()
+    try:
+        for name, rel in (
+            ("utils.graph", "utils/graph.py"),
+            ("utils.trans", "utils/trans.py"),
+            ("metrics.accurate", "metrics/accurate.py"),
+            ("metrics.diversity", "metrics/diversity.py"),
+            ("model.LightGCN.model", "model/LightGCN/model.py"),
+            ("model.LightGCN.loss", "model/LightGCN/loss.py"),
+            ("model.LightGCN.evaluation", "model/LightGCN/evaluation.py"),
+            ("model.LightGCN.train", "model/LightGCN/train.py"),
+        ):
+            spec = importlib.util.spec_from_file_location(name, REF_ROOT / rel)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        ref_model_mod = sys.modules["model.LightGCN.model"]
+        ref_loss_mod = sys.modules["model.LightGCN.loss"]
+        ref_train_mod = sys.modules["model.LightGCN.train"]
+
+        saved_choices = ref_loss_mod.random.choices
+        ref_loss_mod.random.choices = _choices
+
+        torch.set_default_dtype(torch.float64)
+
+        # capture the torch-seeded init (trainLightGCN re-seeds identically)
+        torch.manual_seed(seed)
+        m0 = ref_model_mod.LightGCN(U, I, D, layers)
+        ue0 = m0.users_emb.weight.detach().numpy().copy()
+        ie0 = m0.items_emb.weight.detach().numpy().copy()
+
+        def _joint(us, its):
+            j = np.stack([us.astype(np.int64), its.astype(np.int64) + U])
+            return torch.from_numpy(np.concatenate([j, j[::-1]], axis=1))
+
+        model = ref_train_mod.trainLightGCN(
+            U, I, _joint(np.concatenate([eu, vu]), np.concatenate([ei, vi])),
+            _joint(eu, ei), _joint(vu, vi),
+        )
+        uf_ref = model.users_emb.weight.detach().numpy().copy()
+        if_ref = model.items_emb.weight.detach().numpy().copy()
+        ref_hist = pd.read_csv(tmp_path / f"LightGCN_{k}_val_metrics.csv")
+    finally:
+        torch.set_default_dtype(default_dtype)
+        if saved_choices is not None:
+            sys.modules["model.LightGCN.loss"].random.choices = saved_choices
+        for n, m in saved.items():
+            if m is None:
+                sys.modules.pop(n, None)
+            else:
+                sys.modules[n] = m
+
+    # the reference consumed every injected draw (schedule replay is exact)
+    assert next(sns_iter, None) is None and next(choices_iter, None) is None
+
+    # ---- our side: train_lightgcn with the same stream injected ----------
+    from lgcnhs_tpu.config import load_config
+    from lgcnhs_tpu.data.graph import EdgeSet, InteractionGraph
+    from lgcnhs_tpu.models.lightgcn import LightGCNParams
+    from lgcnhs_tpu.train import trainer as trainer_mod
+
+    graph = InteractionGraph(
+        n_users=U, n_items=I,
+        all=EdgeSet(np.concatenate([eu, vu]), np.concatenate([ei, vi])),
+        train=EdgeSet(eu, ei), val=EdgeSet(vu, vi), test=EdgeSet(eu[:0], ei[:0]),
+    )
+    cfg = load_config(
+        env="dev", dataset="synthetic", model="LightGCN",
+        workdir=str(tmp_path / "ours"),
+        overrides={
+            "hparams.seed": seed, "hparams.embedding_dim": D,
+            "hparams.layers": layers, "hparams.lr": lr, "hparams.gamma": gamma,
+            "hparams.epochs": epochs, "hparams.epoch_per_eval": eval_every,
+            "hparams.epoch_per_lr_decay": decay_every, "hparams.batch_size": B,
+            "hparams.epsilon": eps, "k": k, "compute.dtype": "float64",
+        },
+    )
+
+    # key stream replay: base key exactly as train_lightgcn derives it
+    key0 = jax.random.PRNGKey(seed)
+    base_key, _init_key = jax.random.split(key0)
+    train_keys = np.stack(
+        [np.asarray(jax.random.fold_in(base_key, e)) for e in range(epochs)]
+    )
+    eval_epochs = [e for e in range(epochs) if e % eval_every == 0]
+    val_keys = np.stack(
+        [np.asarray(jax.random.fold_in(base_key, epochs + e)) for e in eval_epochs]
+    )
+    train_tab = np.stack([
+        np.stack([seu[batch_idx[e]], sei[batch_idx[e]],
+                  train_negs[e][batch_idx[e]]])
+        for e in range(epochs)
+    ]).astype(np.int32)
+    val_tab = np.stack(
+        [np.stack([svu, svi, val_negs[e]]) for e in eval_epochs]
+    ).astype(np.int32)
+
+    train_keys_j, val_keys_j = jnp.asarray(train_keys), jnp.asarray(val_keys)
+    train_tab_j, val_tab_j = jnp.asarray(train_tab), jnp.asarray(val_tab)
+
+    def sampler_stub(key, edge_users, edge_items, pos_mask, batch_size, n_items):
+        keys, table = (
+            (train_keys_j, train_tab_j) if batch_size == B
+            else (val_keys_j, val_tab_j)
+        )
+        idx = jnp.argmax(jnp.all(keys == key[None, :], axis=1))
+        t = table[idx]
+        return t[0], t[1], t[2]
+
+    monkeypatch.setattr(trainer_mod, "sample_bpr_batch", sampler_stub)
+    monkeypatch.setattr(
+        trainer_mod, "init_lightgcn",
+        lambda _key, _U, _I, _dim, dtype=None: LightGCNParams(
+            jnp.asarray(ue0), jnp.asarray(ie0)
+        ),
+    )
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        result = trainer_mod.train_lightgcn(graph, cfg, save_artifacts=False)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+
+    # (a) identical history table, the reference's own rounding included
+    column_map = {
+        "iters": "iters", "train_loss": "train_loss", "val_loss": "val_loss",
+        "val_precision": "val_precision", "val_recall": "val_recall",
+        "val_f1": "val_f1", "val_ndcg": "val_ndcg",
+        "val_H": "val_H", "val_I": "val_I",
+    }
+    assert list(ref_hist["iters"]) == result.history["iters"] == [0, 3, 6]
+    for ref_col, ours_col in column_map.items():
+        np.testing.assert_allclose(
+            np.asarray(result.history[ours_col], np.float64),
+            ref_hist[ref_col].to_numpy(np.float64),
+            rtol=0, atol=1e-9, err_msg=ref_col,
+        )
+
+    # (b) final tables to 1e-10
+    np.testing.assert_allclose(
+        np.asarray(result.params.user_emb), uf_ref, rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(result.params.item_emb), if_ref, rtol=0, atol=1e-10
+    )
