@@ -424,3 +424,143 @@ def distributed_masked_topk(
         return jnp.take_along_axis(idx, sel, axis=1)
 
     return merge(vals, idx)
+
+
+# ---------------------------------------------------------------------------
+# Sharded COO training — mesh x large-graph composition (SURVEY.md 2.9).
+#
+# The dense sharded path above distributes the (U, I) incidence; catalogs
+# that refuse to densify (choose_propagation() == "coo": dense incidence
+# > ~4 GB or density below the crossover) instead shard the EDGE LIST over
+# every device of the mesh: each device owns an E/n_dev edge block, computes
+# its partial segment-sum message per propagation layer, and the partials
+# are psummed over the flattened (data, model) axes. The O(E·D) gather/
+# scatter FLOPs and the O(E) edge storage of the propagation — the scaling
+# axis in this regime — are divided by the device count.
+#
+# Deliberate regime tradeoffs (documented, asserted by tests):
+# - embedding tables + optimizer state are REPLICATED: in the COO regime
+#   U·I is what explodes, while (U+I)·D stays chip-sized; replication buys
+#   psum-only collectives (no gather across shards for e[edge] indexing).
+# - one full edge list + CSR stays replicated for minibatch sampling
+#   (sample_bpr_batch_csr draws global uniform edge indices — keeping it
+#   replicated preserves the bit-exact single-device triple stream); at
+#   ~12 bytes/edge this is negligible next to the distributed O(E·D)
+#   propagation traffic.
+# ---------------------------------------------------------------------------
+
+EDGE_AXES = (DATA_AXIS, MODEL_AXIS)
+
+
+def shard_coo_edges(plan: ShardingPlan, edge_users, edge_items, edge_norm):
+    """Pad the edge list to divide the full device count (padding edges point
+    at user/item 0 with norm 0 — their messages are exact zeros) and shard it
+    over the flattened (data, model) axes."""
+    n_dev = int(plan.mesh.devices.size)
+    eu = np.asarray(edge_users)
+    E = eu.shape[0]
+    pad = _pad_len(E, n_dev) - E
+    eu = np.pad(eu, (0, pad))
+    ei = np.pad(np.asarray(edge_items), (0, pad))
+    norm = np.pad(np.asarray(edge_norm), (0, pad))
+    edge_shard = NamedSharding(plan.mesh, P(EDGE_AXES))
+    return (
+        jax.device_put(jnp.asarray(eu), edge_shard),
+        jax.device_put(jnp.asarray(ei), edge_shard),
+        jax.device_put(jnp.asarray(norm), edge_shard),
+    )
+
+
+def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
+                           n_layers: int):
+    """shard_map'd LightGCN propagation over edge blocks: per-layer partial
+    segment-sums + psum over the flattened mesh — numerically the same sum
+    as ``ops.propagation.lightgcn_propagate_coo`` up to float reassociation."""
+
+    def body(ue, ie, e_u, e_i, norm):
+        eu, ei = ue, ie
+        acc_u, acc_i = eu, ei
+        for _ in range(n_layers):
+            msg_u = jax.ops.segment_sum(
+                ei[e_i] * norm[:, None], e_u, num_segments=n_users
+            )
+            msg_i = jax.ops.segment_sum(
+                eu[e_u] * norm[:, None], e_i, num_segments=n_items
+            )
+            eu = jax.lax.psum(msg_u, EDGE_AXES)
+            ei = jax.lax.psum(msg_i, EDGE_AXES)
+            acc_u = acc_u + eu
+            acc_i = acc_i + ei
+        scale = 1.0 / (n_layers + 1)
+        return acc_u * scale, acc_i * scale
+
+    return shard_map(
+        body,
+        mesh=plan.mesh,
+        in_specs=(P(), P(), P(EDGE_AXES), P(EDGE_AXES), P(EDGE_AXES)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+
+def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,
+                                n_users: int, n_items: int):
+    """Edge-sharded flavor of ``train.trainer.make_coo_train_step``: the same
+    CSR sampler on the replicated edge list (identical triple stream), the
+    propagation distributed over edge blocks, loss/update replicated."""
+    from lgcnhs_tpu.models.lightgcn import bpr_loss
+    from lgcnhs_tpu.ops.scalable import sample_bpr_batch_csr
+
+    propagate = _coo_propagate_sharded(plan, n_users, n_items, hp.layers)
+
+    def _loss(params, eu_s, ei_s, norm_s, users, pos_items, neg_items):
+        u_final, i_final = propagate(
+            params.user_emb, params.item_emb, eu_s, ei_s, norm_s
+        )
+        return bpr_loss(
+            u_final[users], params.user_emb[users],
+            i_final[pos_items], params.item_emb[pos_items],
+            i_final[neg_items], params.item_emb[neg_items],
+            hp.epsilon,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, key, edge_users, edge_items, rowptr, cols,
+             eu_s, ei_s, norm_s):
+        users, pos_items, neg_items = sample_bpr_batch_csr(
+            key, edge_users, edge_items, rowptr, cols, hp.batch_size, n_items
+        )
+        loss, grads = jax.value_and_grad(_loss)(
+            params, eu_s, ei_s, norm_s, users, pos_items, neg_items
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_coo_train_scan(plan: ShardingPlan, optimizer, hp,
+                                n_users: int, n_items: int):
+    """Scan-chunked flavor of ``make_sharded_coo_train_step`` with the
+    standard ``fold_in(base_key, epoch)`` stream."""
+    step_once = make_sharded_coo_train_step(plan, optimizer, hp, n_users, n_items)
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
+    def train_scan(params, opt_state, base_key, epoch0, n_steps,
+                   edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s):
+        def body(carry, epoch):
+            params, opt_state = carry
+            key = jax.random.fold_in(base_key, epoch)
+            params, opt_state, loss = step_once.__wrapped__(
+                params, opt_state, key, edge_users, edge_items, rowptr, cols,
+                eu_s, ei_s, norm_s,
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), epoch0 + jnp.arange(n_steps)
+        )
+        return params, opt_state, losses[-1]
+
+    return train_scan
