@@ -88,6 +88,20 @@ def lambda_sweep_metrics(
     return jax.lax.map(body, lambdas)
 
 
+# Per-device bytes the grid-parallel sweep may spend on replicated operands
+# before falling back to the item-sharded sweep. The replicated set is two
+# (I, I) operators (W_gen, S) plus five (U, I)-class arrays (G, A, seen,
+# eval_pos, plus the per-point W/F temporaries) — fine at ML-100K/1M scale,
+# dead on arrival at catalogs that actually need a mesh.
+SWEEP_REPLICATION_BUDGET_BYTES = 4 * 1024**3
+
+
+def _replicated_sweep_bytes(n_users: int, n_items: int) -> int:
+    """Per-device high-water estimate of the grid-parallel sweep: replicated
+    operands + one grid point's (I, I) W and (U, I) F temporaries."""
+    return 4 * (3 * n_items * n_items + 6 * n_users * n_items)
+
+
 def sharded_lambda_sweep(
     mesh: Mesh,
     lambdas,
@@ -100,12 +114,28 @@ def sharded_lambda_sweep(
     eval_present,
     S,
     k: int,
+    memory_budget_bytes: int = SWEEP_REPLICATION_BUDGET_BYTES,
 ) -> jnp.ndarray:
-    """(L, 5) metrics with the lambda grid sharded over ALL devices of
-    ``mesh`` (its (data, model) axes flattened into one "sweep" axis; the
-    operands are replicated — at sweep scale the grid axis, not the catalog,
-    is what parallelizes). The grid is padded to the device count with
-    repeats of the last lambda and the padding dropped from the result."""
+    """(L, 5) metrics for the grid on a mesh, by one of two layouts:
+
+    - grid-parallel (default): the lambda grid sharded over ALL devices
+      (the (data, model) axes flattened into one "sweep" axis), operands
+      REPLICATED — at sweep scale the grid axis, not the catalog, is what
+      parallelizes, and one grid point per device is the best use of the
+      chips.
+    - item-sharded fallback: when replicating the operands would exceed
+      ``memory_budget_bytes`` per device (catalogs that outgrow a chip —
+      the regime the mesh exists for), the catalog axis is sharded over the
+      model axis instead and the grid runs point-at-a-time with collective
+      matmuls + the distributed spread ranker (``item_sharded_lambda_sweep``).
+
+    Both layouts produce identical rows (pinned in tests/test_sweep.py)."""
+    if _replicated_sweep_bytes(A.shape[0], A.shape[1]) > memory_budget_bytes:
+        return item_sharded_lambda_sweep(
+            mesh, lambdas, G, A, W_gen, seen, eval_pos, eval_counts,
+            eval_present, S, k,
+        )
+
     devices = mesh.devices.reshape(-1)
     n_dev = devices.size
     lambdas = jnp.asarray(lambdas, jnp.float32)
@@ -129,6 +159,88 @@ def sharded_lambda_sweep(
     )
     out = run(lambdas, G, A, W_gen, seen, eval_pos, eval_counts, eval_present, S)
     return out[:L]
+
+
+def item_sharded_lambda_sweep(
+    mesh: Mesh,
+    lambdas,
+    G,
+    A,
+    W_gen,
+    seen,
+    eval_pos,
+    eval_counts,
+    eval_present,
+    S,
+    k: int,
+) -> jnp.ndarray:
+    """Catalog-sharded sweep: every (U, I)/(I, I) operand column-sharded over
+    the model axis, one grid point at a time. The diffusion matmul A·W runs
+    as a GSPMD collective matmul, ranking goes through the exact distributed
+    spread ranker (``parallel.sharding._distributed_rank_core``), and the
+    metric kernels consume the item-sharded eval arrays. Per-device memory is
+    O(U·I/n + I²/n) instead of O(U·I + I²).
+
+    The item axis is padded to divide the model axis; padded columns carry
+    A=0 (so item degrees and W rows/cols are unchanged), seen=True and
+    G=-inf (ranked strictly last, never emitted), eval_pos=False and S=0
+    (inert in every metric)."""
+    from jax.sharding import NamedSharding
+
+    from lgcnhs_tpu.parallel.sharding import _distributed_rank_core, _pad_len
+    from lgcnhs_tpu.runtime.mesh import MODEL_AXIS
+
+    U, I = A.shape
+    n_shards = mesh.shape[MODEL_AXIS]
+    I_pad = _pad_len(I, n_shards)
+    if k > I_pad // n_shards:
+        raise ValueError(f"k={k} exceeds shard width {I_pad // n_shards}")
+    if I_pad != I:
+        pc = ((0, 0), (0, I_pad - I))
+        G = jnp.pad(G, pc, constant_values=-jnp.inf)
+        A = jnp.pad(A, pc)
+        seen = jnp.pad(seen, pc, constant_values=True)
+        eval_pos = jnp.pad(eval_pos, pc)
+        W_gen = jnp.pad(W_gen, ((0, I_pad - I), (0, I_pad - I)))
+        S = jnp.pad(S, ((0, I_pad - I), (0, I_pad - I)))
+
+    item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
+    G = jax.device_put(G, item_cols)
+    A = jax.device_put(A, item_cols)
+    seen = jax.device_put(seen, item_cols)
+    eval_pos = jax.device_put(eval_pos, item_cols)
+    W_gen = jax.device_put(W_gen, item_cols)
+    S = jax.device_put(S, item_cols)
+
+    block = I_pad // n_shards
+
+    @partial(jax.jit, static_argnames=("k", "n_items"))
+    def point(lam, G, A, W_gen, seen, eval_pos, eval_counts, eval_present, S,
+              k, n_items):
+        k_item = jnp.sum(A, axis=0)
+        alpha = jnp.power(k_item, 1.0 - lam)
+        beta = jnp.power(k_item, lam)
+        denom = alpha[:, None] * beta[None, :]
+        W = W_gen / jnp.where(denom == 0, 1.0, denom)
+        W = jax.lax.with_sharding_constraint(W, item_cols)
+        F = jnp.dot(
+            A, W, precision=jax.lax.Precision.HIGHEST, preferred_element_type=A.dtype
+        )
+        F = jax.lax.with_sharding_constraint(F, item_cols)
+        fused = G * F  # padded columns: -inf * 0 = nan — remask below
+        fused = jnp.where(
+            jnp.arange(F.shape[1])[None, :] < n_items, fused, -jnp.inf
+        )
+        fused = jax.lax.with_sharding_constraint(fused, item_cols)
+        rec = _distributed_rank_core(mesh, fused, seen, k, True, block)
+        return _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items)
+
+    rows = [
+        point(jnp.float32(lam), G, A, W_gen, seen, eval_pos, eval_counts,
+              eval_present, S, k, I)
+        for lam in np.asarray(lambdas, np.float32)
+    ]
+    return jnp.stack(rows)
 
 
 def sweep_rows(lambdas, metrics: np.ndarray) -> list:

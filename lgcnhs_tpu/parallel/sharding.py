@@ -295,8 +295,6 @@ def distributed_rank_exclude_seen(
     ProbS-on-movielens quirk, ``model/SpreadMethod/recommend.py:48-50``) the
     order drops the seen key and -inf padding still ranks last.
     """
-    from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
-
     n_shards = mesh.shape[MODEL_AXIS]
     n_items = scores.shape[1]
     n_pad = _pad_len(n_items, n_shards)
@@ -310,6 +308,14 @@ def distributed_rank_exclude_seen(
     block = n_pad // n_shards
     if k > block:
         raise ValueError(f"k={k} exceeds shard width {block}")
+    return _distributed_rank_core(mesh, scores, seen, k, filter_seen, block)
+
+
+def _distributed_rank_core(mesh, scores, seen, k, filter_seen, block):
+    """jit-traceable core of ``distributed_rank_exclude_seen``: inputs must
+    already be item-sharded with the item axis divisible by the model axis
+    (padding done by the caller). Reused by the item-sharded lambda sweep."""
+    from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
 
     def local(scores_blk, seen_blk):
         # O(block·k) selection kernel; -inf only appears in padded SEEN
