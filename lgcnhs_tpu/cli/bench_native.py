@@ -76,6 +76,38 @@ def main(argv=None) -> dict:
     finally:
         os.unlink(csv_path)
 
+    # ML-1M-style ::-separated rating rows (pandas needs its slow python
+    # engine for multi-char separators; the native parser is one pass)
+    ratings = rng.integers(1, 6, args.rows).astype(np.int32)
+    stamps = rng.integers(9e8, 1e9, args.rows).astype(np.int32)
+    with tempfile.NamedTemporaryFile("w", suffix=".dat", delete=False) as f:
+        np.savetxt(
+            f, np.stack([users, items, ratings, stamps], axis=1),
+            fmt="%d", delimiter="::",
+        )
+        dat_path = f.name
+    try:
+        log(f"ratings.dat: {os.path.getsize(dat_path) / 1e6:.0f} MB")
+        t0 = time.perf_counter()
+        parsed = bindings.parse_rating_rows(dat_path, "::")
+        t_native = time.perf_counter() - t0
+        assert parsed is not None and len(parsed[0]) == args.rows
+        t0 = time.perf_counter()
+        df = pd.read_csv(
+            dat_path, sep="::", engine="python", header=None,
+            names=["user", "item", "rating", "timestamp"],
+        )
+        t_pandas = time.perf_counter() - t0
+        np.testing.assert_array_equal(parsed[0], df["user"].to_numpy(np.int32))
+        np.testing.assert_array_equal(parsed[3], df["timestamp"].to_numpy(np.int32))
+        out["ratings_native_s"] = round(t_native, 3)
+        out["ratings_pandas_py_s"] = round(t_pandas, 3)
+        out["ratings_speedup"] = round(t_pandas / t_native, 2)
+        log(f"parse_rating_rows: native {t_native:.2f}s vs pandas(python) "
+            f"{t_pandas:.2f}s ({t_pandas / t_native:.1f}x)")
+    finally:
+        os.unlink(dat_path)
+
     t0 = time.perf_counter()
     indptr_n, idx_n = bindings.build_csr(users, items, args.users)
     t_native = time.perf_counter() - t0

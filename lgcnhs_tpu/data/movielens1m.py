@@ -55,17 +55,34 @@ N_OCCUPATIONS_1M = 21  # integer codes 0..20 (users.dat README)
 _YEAR_RE = re.compile(r"\((\d{4})\)\s*$")
 
 
+def _read_ratings_dat(path: str) -> pd.DataFrame:
+    """ratings.dat as a (user, item, rating, timestamp) int64 frame: native
+    O(E) parser when available, else pandas' python engine."""
+    from lgcnhs_tpu.native import bindings as native
+
+    parsed = native.parse_rating_rows(path, "::")
+    if parsed is not None:
+        u, i, r, t = (c.astype(np.int64) for c in parsed)
+        return pd.DataFrame(
+            {"user": u, "item": i, "rating": r, "timestamp": t}
+        )
+    return pd.read_csv(
+        path, sep="::", engine="python", header=None,
+        names=["user", "item", "rating", "timestamp"],
+    )
+
+
 def read_movielens1m_raw(paths: Dict[str, str]):
     """Parse the three ``::``-separated .dat files.
 
-    ``sep="::"`` requires the python engine; movies.dat is latin-1 like
-    100K's u.item (``handleMovielens.py:140-145``). Titles contain commas,
-    colons and accents but never the "::" separator.
+    ``sep="::"`` requires pandas' slow python engine, so the 1M-row ratings
+    file takes the native C parser fast path when the library is available
+    (``native.bindings.parse_rating_rows``; identical frame, pinned by
+    tests/test_native.py). movies.dat is latin-1 like 100K's u.item
+    (``handleMovielens.py:140-145``). Titles contain commas, colons and
+    accents but never the "::" separator.
     """
-    rating = pd.read_csv(
-        paths["rating"], sep="::", engine="python", header=None,
-        names=["user", "item", "rating", "timestamp"],
-    )
+    rating = _read_ratings_dat(paths["rating"])
     users = pd.read_csv(
         paths["users"], sep="::", engine="python", header=None,
         names=["user_id", "gender", "age", "occupation", "zip_code"],

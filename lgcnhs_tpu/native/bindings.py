@@ -50,6 +50,11 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.parse_edges_csv.argtypes = [
                 ctypes.c_char_p, ctypes.c_char, i32p, i32p, ctypes.c_int64,
             ]
+            lib.parse_rating_rows.restype = ctypes.c_int64
+            lib.parse_rating_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, i32p, i32p, i32p, i32p,
+                ctypes.c_int64,
+            ]
             lib.count_degrees.restype = None
             lib.count_degrees.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32, i64p]
             lib.build_csr.restype = ctypes.c_int64
@@ -99,6 +104,29 @@ def parse_edges_csv(path: str, sep: str = ",") -> Tuple[np.ndarray, np.ndarray]:
         df.iloc[:, 0].to_numpy(np.int32),
         df.iloc[:, 1].to_numpy(np.int32),
     )
+
+
+def parse_rating_rows(path: str, sep: str) -> Optional[Tuple[np.ndarray, ...]]:
+    """(users, items, ratings, timestamps) int32 arrays from an all-integer
+    rating file with a possibly MULTI-character separator — covers ML-100K's
+    tab-separated ``u.data`` and ML-1M's ``::``-separated ``ratings.dat``
+    (the latter needs pandas' slow python engine otherwise). Returns None
+    when the native library is unavailable or the file doesn't fit the
+    4-integer-column shape (callers fall back to pandas)."""
+    lib = _load()
+    if lib is None:
+        return None
+    capacity = max(1024, os.path.getsize(path) // 8)
+    cols = [np.empty(capacity, dtype=np.int32) for _ in range(4)]
+    n = lib.parse_rating_rows(
+        path.encode(),
+        sep.encode(),
+        *[c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for c in cols],
+        capacity,
+    )
+    if n < 0:
+        return None
+    return tuple(c[:n].copy() for c in cols)
 
 
 def count_degrees(idx: np.ndarray, size: int) -> np.ndarray:

@@ -63,6 +63,59 @@ int64_t parse_edges_csv(const char* path, char sep, int32_t* users,
   return n;
 }
 
+// Parse "user<sep>item<sep>rating<sep>timestamp" integer rows with a
+// MULTI-CHARACTER separator (ML-1M's "::", ML-100K's "\t", plain ","). Skips
+// lines whose first byte is non-numeric (headers). Returns rows parsed, -1 on
+// open failure, -2 if capacity is too small, -3 on a malformed numeric row.
+int64_t parse_rating_rows(const char* path, const char* sep, int32_t* users,
+                          int32_t* items, int32_t* ratings, int32_t* times,
+                          int64_t capacity) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  std::fseek(f, 0, SEEK_END);
+  const long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(static_cast<size_t>(size) + 1);
+  const size_t got = std::fread(buf.data(), 1, static_cast<size_t>(size), f);
+  std::fclose(f);
+  buf[got] = '\0';
+
+  const size_t sep_len = std::strlen(sep);
+  const char* p = buf.data();
+  const char* end = buf.data() + got;
+  int64_t n = 0;
+  while (p < end) {
+    const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!eol) eol = end;
+    if (*p >= '0' && *p <= '9') {
+      int64_t field[4] = {0, 0, 0, 0};
+      const char* q = p;
+      bool ok = true;
+      for (int c = 0; c < 4 && ok; ++c) {
+        const char* start = q;
+        while (q < eol && *q >= '0' && *q <= '9')
+          field[c] = field[c] * 10 + (*q++ - '0');
+        if (q == start) { ok = false; break; }
+        if (c < 3) {
+          if (q + sep_len <= eol && std::memcmp(q, sep, sep_len) == 0)
+            q += sep_len;
+          else
+            ok = false;
+        }
+      }
+      if (!ok) return -3;
+      if (n >= capacity) return -2;
+      users[n] = static_cast<int32_t>(field[0]);
+      items[n] = static_cast<int32_t>(field[1]);
+      ratings[n] = static_cast<int32_t>(field[2]);
+      times[n] = static_cast<int32_t>(field[3]);
+      ++n;
+    }
+    p = eol + 1;
+  }
+  return n;
+}
+
 // Count occurrences of each index value (bincount). Parallel over chunks.
 void count_degrees(const int32_t* idx, int64_t n, int32_t size, int64_t* out) {
   std::memset(out, 0, sizeof(int64_t) * static_cast<size_t>(size));

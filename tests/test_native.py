@@ -63,3 +63,52 @@ def test_fill_interaction():
     cols = np.array([2, 0, 2], dtype=np.int32)
     A = bindings.fill_interaction(rows, cols, 2, 3)
     np.testing.assert_array_equal(A, [[0, 0, 1], [1, 0, 1]])
+
+
+def test_parse_rating_rows_multichar_sep(tmp_path):
+    """The :: parser must reproduce the pandas python-engine frame exactly
+    (the ML-1M ratings.dat fast path, data/movielens1m._read_ratings_dat)."""
+    import pandas as pd
+
+    path = tmp_path / "ratings.dat"
+    path.write_text(
+        "1::1193::5::978300760\n"
+        "1::661::3::978302109\n"
+        "6040::1090::3::956715518\n"
+    )
+    got = bindings.parse_rating_rows(str(path), "::")
+    assert got is not None
+    want = pd.read_csv(
+        str(path), sep="::", engine="python", header=None,
+        names=["user", "item", "rating", "timestamp"],
+    )
+    for col, arr in zip(("user", "item", "rating", "timestamp"), got):
+        np.testing.assert_array_equal(arr, want[col].to_numpy())
+
+
+def test_parse_rating_rows_tab_and_header(tmp_path):
+    path = tmp_path / "u.data"
+    path.write_text("user\titem\trating\tts\n196\t242\t3\t881250949\n")
+    got = bindings.parse_rating_rows(str(path), "\t")
+    assert got is not None
+    np.testing.assert_array_equal(got[0], [196])
+    np.testing.assert_array_equal(got[3], [881250949])
+
+
+def test_parse_rating_rows_malformed_returns_none(tmp_path):
+    path = tmp_path / "bad.dat"
+    path.write_text("1::2::3\n")  # only 3 fields
+    assert bindings.parse_rating_rows(str(path), "::") is None
+
+
+def test_ml1m_reader_native_equals_pandas(tmp_path, monkeypatch):
+    from lgcnhs_tpu.data import movielens1m as m1
+    from lgcnhs_tpu.native import bindings as native
+
+    path = tmp_path / "ratings.dat"
+    path.write_text("7::11::4::978300760\n8::13::1::978300761\n")
+    fast = m1._read_ratings_dat(str(path))
+    monkeypatch.setattr(native, "parse_rating_rows", lambda *a: None)
+    slow = m1._read_ratings_dat(str(path))
+    pd_testing = __import__("pandas").testing
+    pd_testing.assert_frame_equal(fast, slow)
