@@ -240,76 +240,12 @@ def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
     return U * reps / (time.perf_counter() - t0)
 
 
-class _RefModules:
-    """Context manager loading the reference's OWN modules (SpreadMethod
-    model/recommend, trans converters, both metric files) with side-effect
-    stand-ins for its const/logging globals — the same stub pattern as the
-    differential test suite (tests/test_reference_differential.py:52-109)."""
+# Loader for the reference's own modules (shared with cli/parity_report.py).
+from lgcnhs_tpu.eval.reference_runner import ReferenceModules
 
-    _STUBBED = (
-        "const", "utils", "utils.log", "utils.wrapper", "model", "metrics",
-        "model.SpreadMethod", "model.SpreadMethod.model",
-        "model.SpreadMethod.recommend", "metrics.accurate",
-        "metrics.diversity", "utils.trans",
-    )
 
-    def __init__(self, ref_root, save_dir: str):
-        self.ref_root = ref_root
-        self.save_dir = save_dir
-
-    def __enter__(self):
-        import importlib
-        import types
-        from types import SimpleNamespace
-
-        class _NullLogger:
-            def __getattr__(self, _name):
-                return lambda *a, **k: None
-
-        self._saved = {n: sys.modules.get(n) for n in self._STUBBED}
-        cfg = SimpleNamespace(
-            DATA_SET="douban",  # no dataset-specific ranking quirks
-            MODEL={"name": "HybridS"},
-            RECOMMEND={"save_path": self.save_dir + "/", "k": K},
-        )
-        utils_pkg = types.ModuleType("utils")
-        utils_pkg.__path__ = [str(self.ref_root / "utils")]
-        log_stub = types.ModuleType("utils.log")
-        log_stub.logger = _NullLogger()
-        wrapper_stub = types.ModuleType("utils.wrapper")
-        wrapper_stub.calTimes = lambda _l, _m: (lambda fn: fn)
-        const_stub = types.ModuleType("const")
-        const_stub.cfg = cfg
-        model_pkg = types.ModuleType("model")
-        model_pkg.__path__ = [str(self.ref_root / "model")]
-        metrics_pkg = types.ModuleType("metrics")
-        metrics_pkg.__path__ = [str(self.ref_root / "metrics")]
-        sys.modules.update(
-            {
-                "utils": utils_pkg,
-                "utils.log": log_stub,
-                "utils.wrapper": wrapper_stub,
-                "const": const_stub,
-                "model": model_pkg,
-                "metrics": metrics_pkg,
-            }
-        )
-        return SimpleNamespace(
-            cfg=cfg,
-            spread=importlib.import_module("model.SpreadMethod.model"),
-            spread_rec=importlib.import_module("model.SpreadMethod.recommend"),
-            accurate=importlib.import_module("metrics.accurate"),
-            diversity=importlib.import_module("metrics.diversity"),
-            trans=importlib.import_module("utils.trans"),
-        )
-
-    def __exit__(self, *exc):
-        for n, m in self._saved.items():
-            if m is None:
-                sys.modules.pop(n, None)
-            else:
-                sys.modules[n] = m
-        return False
+def _RefModules(ref_root, save_dir: str):
+    return ReferenceModules(save_dir, ref_root=ref_root, k=K)
 
 
 def bench_reference_diffusion() -> tuple:

@@ -1,0 +1,167 @@
+"""BASELINE section-6 parity report: reference pipeline vs ours, one table.
+
+``BASELINE.md``'s binding protocol is self-measured: run the reference
+pipeline on a dataset with its fixed seeds and record P/R/F1/NDCG/H/I@k per
+model, then match. This driver executes that protocol for the training-free
+SpreadMethod family (deterministic given the split, so the parity promise is
+EXACT): for each method in {ProbS, HeatS, HybridS} and each k it runs
+
+- the REFERENCE'S OWN ``recommendSpreadMethod`` + ``recommendForAllUser`` +
+  ``getAccurateMetrics``/``getDiversityMetrics``
+  (``model/SpreadMethod/recommend.py:58-115``, ``metrics/*.py`` — actual
+  code loaded from /root/reference, see ``eval/reference_runner.py``), and
+- our ``models.spread.recommend_spread_method`` + ``eval.metrics``,
+
+on the SAME split, and emits a side-by-side table with a match column per
+metric. The trained-model half of the protocol is covered by
+``tests/test_reference_differential.py`` (single-step at 1e-12, optimizer
+trajectory at 1e-14, and a full N-epoch run of the reference's actual
+``trainLightGCN`` with identical history tables).
+
+Output: ``parity_report_<k>.csv`` per k under the evaluation dir, a combined
+markdown table, and one JSON summary line on stdout.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+
+from lgcnhs_tpu.cli.common import base_parser, config_from_args, load_pipeline
+from lgcnhs_tpu.config import _lambda_for
+from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
+from lgcnhs_tpu.eval.reference_runner import ReferenceModules, reference_available
+from lgcnhs_tpu.models.spread import SPREAD_METHODS, recommend_spread_method
+from lgcnhs_tpu.runtime.logging import get_logger
+
+METRIC_KEYS = ("P", "R", "F1", "NDCG", "H", "I")
+
+
+def _reference_metrics(ref, graph, dataset: str, method: str, lam: float, k: int):
+    """One (method, k) cell measured on the reference's own code."""
+    train_df = pd.DataFrame(
+        {"user_id": graph.train.users, "item_id": graph.train.items}
+    )
+    val_df = pd.DataFrame({"user_id": graph.val.users, "item_id": graph.val.items})
+    test_df = pd.DataFrame({"user_id": graph.test.users, "item_id": graph.test.items})
+
+    ref.cfg.DATA_SET = dataset
+    ref.cfg.MODEL["HyperParameter"]["lambda"] = lam
+    ref.cfg.RECOMMEND["k"] = k
+    rec_dict = ref.spread_rec.recommendSpreadMethod(
+        graph.n_users, graph.n_items, train_df, val_df, method
+    )
+    rec = ref.trans.recommendDictToTensor(rec_dict)
+
+    test_pos = ref.trans.getUserItemsDictByDataframe(test_df)
+    train_pos = ref.trans.getUserItemsDictByDataframe(train_df)
+    val_pos = ref.trans.getUserItemsDictByDataframe(val_df)
+    item_deg = ref.trans.getItemDegreeByUserPosItemDict(train_pos, val_pos)
+    A = ref.trans.getInteractionMatrixByDataframe(
+        graph.n_users, graph.n_items, pd.concat([train_df, val_df])
+    )
+    p, r, f1, n = ref.accurate.getAccurateMetrics(test_pos, rec, k)
+    h, i = ref.diversity.getDiversityMetrics(rec, item_deg, A, k)
+    return {"P": p, "R": r, "F1": f1, "NDCG": n, "H": h, "I": i}, np.asarray(rec)
+
+
+def main(argv=None) -> dict:
+    parser = base_parser(__doc__)
+    parser.add_argument("--ks", type=int, nargs="+", default=[10, 30])
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    log = get_logger("lgcnhs", cfg.log_path)
+
+    # Match the reference's numpy double arithmetic bit-for-bit on the
+    # diffusion chain: the ranking is where f32-resolution ties would
+    # otherwise flip (models/spread.recommend_spread_method honors this).
+    import dataclasses
+
+    import jax
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    cfg = cfg.replace(compute=dataclasses.replace(cfg.compute, dtype="float64"))
+
+    if not reference_available():
+        log.warning("/root/reference not mounted; nothing to diff against")
+        print(json.dumps({"reference": False}))
+        return {"reference": False}
+
+    try:
+        graph, _, _ = load_pipeline(cfg)
+        ctx = EvalContext.build(
+            graph.n_users, graph.n_items, graph.test, graph.train, graph.val
+        )
+
+        sheets = {}
+        all_match = True
+        with tempfile.TemporaryDirectory() as td, ReferenceModules(td) as ref:
+            for k in args.ks:
+                rows = []
+                for method in SPREAD_METHODS:
+                    lam = _lambda_for(method, cfg.env)
+                    cfg_mk = cfg.replace(
+                        k=k, model=method,
+                        hparams=dataclasses.replace(cfg.hparams, lambda_=lam),
+                    )
+
+                    ours_rec = recommend_spread_method(graph, cfg_mk, method)
+                    ours = evaluate_recommendations(ctx, ours_rec[:, :k])
+                    theirs, ref_rec = _reference_metrics(
+                        ref, graph, cfg.dataset, method, lam, k
+                    )
+
+                    row = {"Model": method, "k": k}
+                    cell_match = True
+                    for key in METRIC_KEYS:
+                        row[f"{key}_ref"] = theirs[key]
+                        row[f"{key}_ours"] = ours[key]
+                        # both sides round to 5 decimals at their reference-
+                        # mandated stages; ties in the unstable reference sort
+                        # are the only admissible source of drift
+                        ok = abs(float(theirs[key]) - float(ours[key])) <= 1e-9
+                        cell_match &= ok
+                    row["match"] = bool(cell_match)
+                    row["rec_identical"] = bool(
+                        ref_rec.shape == ours_rec[:, :k].shape
+                        and (ref_rec == ours_rec[:, :k]).all()
+                    )
+                    all_match &= cell_match
+                    rows.append(row)
+                    log.info(
+                        "k=%d %s: match=%s rec_identical=%s ours=%s",
+                        k, method, row["match"], row["rec_identical"], ours,
+                    )
+                sheets[k] = pd.DataFrame(rows)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+
+    os.makedirs(cfg.evaluation_path, exist_ok=True)
+    md_lines = ["# Parity report (reference code vs lgcnhs_tpu)\n"]
+    for k, df in sheets.items():
+        df.to_csv(
+            os.path.join(cfg.evaluation_path, f"parity_report_{k}.csv"),
+            index=False,
+        )
+        md_lines.append(f"\n## k={k}\n")
+        md_lines.append(df.to_markdown(index=False))
+    with open(os.path.join(cfg.evaluation_path, "parity_report.md"), "w") as f:
+        f.write("\n".join(md_lines) + "\n")
+
+    summary = {
+        "reference": True,
+        "models": list(SPREAD_METHODS),
+        "ks": list(args.ks),
+        "all_match": bool(all_match),
+        "report": os.path.join(cfg.evaluation_path, "parity_report.md"),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

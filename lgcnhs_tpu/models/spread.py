@@ -69,8 +69,15 @@ def recommend_spread_method(
     method = method or cfg.model
     log = get_logger()
     with stage_timer(f"{method} diffusion recommendation done", log):
+        # compute.dtype="float64" (+ x64) reproduces the reference's numpy
+        # double arithmetic exactly (cli/parity_report.py); the default f32
+        # HIGHEST path is rank-identical except at f32-resolution ties.
+        dtype = (
+            np.float32 if cfg.compute.dtype == "bfloat16"
+            else np.dtype(cfg.compute.dtype)
+        )
         A = interaction_matrix(
-            graph.n_users, graph.n_items, graph.train, graph.val
+            graph.n_users, graph.n_items, graph.train, graph.val, dtype=dtype
         )
         _, _, filter_seen = resolve_spread_variant(
             method, cfg.dataset, cfg.hparams.lambda_

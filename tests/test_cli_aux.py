@@ -43,3 +43,21 @@ def test_ablation_without_csv_is_graceful(tmp_path):
         ["--dataset", "synthetic", "--workdir", str(tmp_path), "--ks", "99"]
     )
     assert outputs == []
+
+
+def test_parity_report_cli(tmp_path):
+    """BASELINE section-6 protocol driver: reference code vs ours, all cells
+    must match with identical recommendation lists (cli/parity_report.py)."""
+    import os
+
+    from lgcnhs_tpu.cli.parity_report import main
+
+    out = main([
+        "--dataset", "synthetic", "--env", "dev", "--users", "60",
+        "--items", "90", "--interactions", "2000",
+        "--workdir", str(tmp_path), "--ks", "4", "7",
+    ])
+    if not out.get("reference"):
+        return  # /root/reference not mounted
+    assert out["all_match"] is True
+    assert os.path.exists(out["report"])
