@@ -49,6 +49,16 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "files.grouplens.org, md5-verified) into <workdir>/data when the raw "
         "files are absent; logged no-op without network egress",
     )
+    p.add_argument(
+        "--quantile",
+        type=float,
+        nargs=2,
+        default=None,
+        metavar=("START", "END"),
+        help="override the user-activity quantile band filter "
+        "(reference handleData.py:39-57; e.g. '--quantile 1 0' disables "
+        "filtering, douban's preset is 0.991 0.99)",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -115,6 +125,9 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["synthetic_items"] = args.items
     if args.interactions is not None:
         overrides["synthetic_interactions"] = args.interactions
+    if getattr(args, "quantile", None) is not None:
+        overrides["preprocessing.quantile_start"] = args.quantile[0]
+        overrides["preprocessing.quantile_end"] = args.quantile[1]
     if getattr(args, "mesh", None) is not None:
         if args.mesh == "auto":
             overrides["compute.mesh_shape"] = (0, 0)  # all local devices

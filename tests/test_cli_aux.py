@@ -61,3 +61,16 @@ def test_parity_report_cli(tmp_path):
         return  # /root/reference not mounted
     assert out["all_match"] is True
     assert os.path.exists(out["report"])
+
+    # quirk dispatches (ProbS-on-movielens skip-filter + transpose;
+    # HeatS-on-douban transpose) must also hold end to end. douban's
+    # 0.1%-sliver quantile band is disabled — it would empty a tiny
+    # synthetic population; the quirks under test key on the dataset name.
+    for ds in ("movielens", "douban"):
+        out = main([
+            "--dataset", ds, "--env", "dev", "--users", "60",
+            "--items", "90", "--interactions", "2000",
+            "--workdir", str(tmp_path / ds), "--ks", "4",
+            "--quantile", "1", "0",
+        ])
+        assert out["all_match"] is True, ds
