@@ -570,3 +570,87 @@ def make_sharded_coo_train_scan(plan: ShardingPlan, optimizer, hp,
         return params, opt_state, losses[-1]
 
     return train_scan
+
+
+def distributed_csr_masked_topk(
+    mesh: Mesh,
+    user_emb,
+    item_emb,
+    rowptr: np.ndarray,
+    cols: np.ndarray,
+    k: int,
+):
+    """User-sharded flavor of ``ops.scalable.chunked_masked_topk`` — the
+    COO-regime retrieval under a mesh. Users are split over every device of
+    the mesh; each device scores its user block against the (replicated,
+    chip-sized) item table, scatters its block's CSR edges into a local
+    (U/n_dev, I) seen mask, and takes the masked top-k. No (U, I) array ever
+    exists globally; per-device peak is one (U/n_dev, I) score block. Emits
+    exactly ``ops.topk.masked_topk``'s ids (user-axis chunking cannot change
+    per-user results; pinned in tests/test_sharding.py)."""
+    from lgcnhs_tpu.ops.topk import masked_topk
+
+    n_dev = int(mesh.devices.size)
+    user_emb = np.asarray(user_emb)
+    U, D = user_emb.shape
+    U_pad = _pad_len(U, n_dev)
+    blk = U_pad // n_dev
+    rowptr = np.asarray(rowptr)
+    cols = np.asarray(cols)
+    counts = (rowptr[1:] - rowptr[:-1]).astype(np.int64)
+
+    e_max = 1
+    for d in range(n_dev):
+        s, e = d * blk, min((d + 1) * blk, U)
+        if s < U:
+            e_max = max(e_max, int(counts[s:e].sum()))
+    rows_sh = np.zeros((n_dev, e_max), np.int32)
+    cols_sh = np.zeros((n_dev, e_max), np.int32)
+    valid_sh = np.zeros((n_dev, e_max), bool)
+    for d in range(n_dev):
+        s, e = d * blk, min((d + 1) * blk, U)
+        if s >= U:
+            continue
+        lo, hi = int(rowptr[s]), int(rowptr[e])
+        n_e = hi - lo
+        rows_sh[d, :n_e] = np.repeat(
+            np.arange(e - s, dtype=np.int32), counts[s:e]
+        )
+        cols_sh[d, :n_e] = cols[lo:hi]
+        valid_sh[d, :n_e] = True
+
+    ue = np.zeros((U_pad, D), user_emb.dtype)
+    ue[:U] = user_emb
+
+    user_rows = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
+    ue_j = jax.device_put(jnp.asarray(ue), user_rows)
+    rows_j = jax.device_put(jnp.asarray(rows_sh), user_rows)
+    cols_j = jax.device_put(jnp.asarray(cols_sh), user_rows)
+    valid_j = jax.device_put(jnp.asarray(valid_sh), user_rows)
+    ie_j = jax.device_put(jnp.asarray(item_emb), NamedSharding(mesh, P()))
+
+    def local(ue_blk, rows, ccols, valid, ie):
+        scores = jnp.dot(
+            ue_blk, ie.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=ue_blk.dtype,
+        )
+        seen = jnp.zeros(scores.shape, bool).at[rows[0], ccols[0]].max(valid[0])
+        return masked_topk(scores, seen, k)
+
+    out = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P((DATA_AXIS, MODEL_AXIS), None),
+                P((DATA_AXIS, MODEL_AXIS), None),
+                P((DATA_AXIS, MODEL_AXIS), None),
+                P((DATA_AXIS, MODEL_AXIS), None),
+                P(),
+            ),
+            out_specs=P((DATA_AXIS, MODEL_AXIS), None),
+            check_vma=False,
+        )
+    )(ue_j, rows_j, cols_j, valid_j, ie_j)
+    return np.asarray(out)[:U]

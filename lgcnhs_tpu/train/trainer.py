@@ -568,9 +568,21 @@ def train_lightgcn(
                 return p, r, n, h
 
             def eval_fn(params):
-                rec = scalable.chunked_masked_topk(
-                    params.user_emb, params.item_emb, rowptr_np, cols_np, cfg.k
-                )
+                if mesh is not None:
+                    # user-sharded retrieval: each device scores U/n_dev
+                    # users vs the full table, no (U, I) global block
+                    from lgcnhs_tpu.parallel.sharding import (
+                        distributed_csr_masked_topk,
+                    )
+
+                    rec = distributed_csr_masked_topk(
+                        mesh, params.user_emb, params.item_emb,
+                        rowptr_np, cols_np, cfg.k,
+                    )
+                else:
+                    rec = scalable.chunked_masked_topk(
+                        params.user_emb, params.item_emb, rowptr_np, cols_np, cfg.k
+                    )
                 rec_j = jnp.asarray(rec)
                 hits = scalable.hits_csr(rec_j, v_rowptr, v_cols)
                 p, r, n, h = _hit_metrics(rec_j, hits)

@@ -406,3 +406,24 @@ class TestShardedCooTraining:
             np.asarray(sharded.params.item_emb),
             np.asarray(base.params.item_emb), atol=1e-5,
         )
+
+
+def test_distributed_csr_masked_topk_matches_chunked():
+    """User-sharded CSR retrieval == the host-chunked kernel (which itself
+    equals the dense masked_topk), incl. a U that doesn't divide the mesh."""
+    from lgcnhs_tpu.data.graph import EdgeSet
+    from lgcnhs_tpu.ops.scalable import chunked_masked_topk, user_csr
+    from lgcnhs_tpu.parallel.sharding import distributed_csr_masked_topk
+
+    rng = np.random.default_rng(71)
+    U_odd = 53  # 53 % 8 != 0 -> user padding exercised
+    eu = rng.integers(0, U_odd, 700).astype(np.int32)
+    ei = rng.integers(0, I, 700).astype(np.int32)
+    rowptr, cols = user_csr(U_odd, EdgeSet(eu, ei))
+    ue = rng.standard_normal((U_odd, D)).astype(np.float32)
+    ie = rng.standard_normal((I, D)).astype(np.float32)
+
+    want = chunked_masked_topk(ue, ie, rowptr, cols, 6, chunk_bytes=1e4)
+    mesh = make_mesh((2, 4))
+    got = distributed_csr_masked_topk(mesh, ue, ie, rowptr, cols, 6)
+    np.testing.assert_array_equal(got, want)
