@@ -619,6 +619,12 @@ def train_lightgcn(
         if restored is not None:
             start_epoch, params, opt_state = restored
             params = LightGCNParams(*params)
+            if mesh is not None and propagation == "coo":
+                # orbax restores scalar leaves (e.g. Adam's count) onto one
+                # device; re-pin the whole state to the replicated sharding
+                # the edge-sharded step compiles against
+                params = jax.device_put(params, plan.replicated)
+                opt_state = jax.device_put(opt_state, plan.replicated)
             start_epoch += 1
             log.info("resumed from checkpoint at epoch %d", start_epoch - 1)
 

@@ -86,3 +86,38 @@ def test_restore_missing_returns_none(tmp_path):
     from lgcnhs_tpu.train.checkpoint import restore_train_state
 
     assert restore_train_state(str(tmp_path / "nope"), None, None) is None
+
+
+def test_resume_sharded_coo_path(tmp_path, graph_and_cfg):
+    """Mid-train resume must also work on the edge-sharded COO trainer
+    (mesh + dense_threshold=1.0): resumed run == uninterrupted mesh run."""
+    import dataclasses
+
+    graph, cfg = graph_and_cfg
+    cfg = cfg.replace(
+        compute=dataclasses.replace(
+            cfg.compute, mesh_shape=(2, 4), dense_threshold=1.0
+        )
+    )
+
+    full = train_lightgcn(graph, _with_epochs(cfg, 14), save_artifacts=False)
+
+    ckpt = str(tmp_path / "ckpt_coo")
+    _ = train_lightgcn(
+        graph, _with_epochs(cfg, 8), save_artifacts=False,
+        checkpoint_dir=ckpt, checkpoint_every=7,
+    )
+    resumed = train_lightgcn(
+        graph, _with_epochs(cfg, 14), save_artifacts=False,
+        checkpoint_dir=ckpt, checkpoint_every=7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.params.user_emb),
+        np.asarray(full.params.user_emb),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.params.item_emb),
+        np.asarray(full.params.item_emb),
+        rtol=2e-4, atol=1e-5,
+    )
