@@ -1279,11 +1279,13 @@ def test_optimizer_trajectory_matches_torch_adam_explr():
         jax.config.update("jax_enable_x64", x64_was)
 
 
-def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
-    """Run the reference's ACTUAL ``trainLightGCN`` (model/LightGCN/
-    train.py:62-223) for 9 epochs (3 evals, 4 LR decays) against our
-    ``train_lightgcn``, both at float64 and both fed the IDENTICAL injected
-    triple stream, and require:
+@pytest.mark.parametrize("flavor", ["LightGCN", "LightGCNOpti"])
+def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch, flavor):
+    """Run the reference's ACTUAL ``trainLightGCN[Opti]`` (model/LightGCN/
+    train.py:62-223; the Opti flavor differs only in the feature-projected
+    init + dead linear params, model/LightGCNOpti/model.py:36-49) for 9
+    epochs (3 evals, 4 LR decays) against our ``train_lightgcn``, both at
+    float64 and both fed the IDENTICAL injected triple stream, and require:
 
       (a) the logged history table (train/val loss + all six val metrics,
           the reference's own 5-decimal rounding) to be IDENTICAL, read back
@@ -1320,6 +1322,10 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
     vu, vi = _random_interactions(np.random.default_rng(32), U, I, 40)
     E_t, E_v = len(eu), len(vu)
     assert E_v != B  # the sampler stub dispatches on batch size
+
+    opti = flavor == "LightGCNOpti"
+    uf = rng.standard_normal((U, 7)) if opti else None
+    itf = rng.standard_normal((I, 9)) if opti else None
 
     # ---- the injected randomness, precomputed once for both sides --------
     def _sorted(us, its):
@@ -1419,7 +1425,7 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
             "torch_geometric.nn.conv.gcn_conv"
         ),
         "torch_geometric.utils": types.ModuleType("torch_geometric.utils"),
-        "model.LightGCN": types.ModuleType("model.LightGCN"),
+        f"model.{flavor}": types.ModuleType(f"model.{flavor}"),
         "utils.picture": types.ModuleType("utils.picture"),
     }
     stubs["torch_sparse"].SparseTensor = _SparseTensor
@@ -1428,14 +1434,14 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
     stubs["torch_geometric.nn.conv"].MessagePassing = _MessagePassing
     stubs["torch_geometric.nn.conv.gcn_conv"].gcn_norm = _gcn_norm
     stubs["torch_geometric.utils"].structured_negative_sampling = _sns
-    stubs["model.LightGCN"].__path__ = []
+    stubs[f"model.{flavor}"].__path__ = []
     stubs["utils.picture"].plotMetric = lambda *a, **kw: None
 
     ref_stub_names = ("const", "utils", "utils.log", "utils.wrapper",
                       "utils.trans", "utils.graph", "model", "metrics",
                       "metrics.accurate", "metrics.diversity",
-                      "model.LightGCN.model", "model.LightGCN.loss",
-                      "model.LightGCN.evaluation", "model.LightGCN.train")
+                      f"model.{flavor}.model", f"model.{flavor}.loss",
+                      f"model.{flavor}.evaluation", f"model.{flavor}.train")
     saved = {n: sys.modules.get(n) for n in list(stubs) + list(ref_stub_names)}
 
     hp_dict = {
@@ -1445,7 +1451,7 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
     }
     cfg_stub = SimpleNamespace(
         DATA_SET="douban",
-        MODEL={"name": "LightGCN", "HyperParameter": hp_dict,
+        MODEL={"name": flavor, "HyperParameter": hp_dict,
                "save_path": str(tmp_path) + "/"},
         RECOMMEND={"k": k, "save_path": str(tmp_path) + "/"},
         PICTURES={"save_path": str(tmp_path) + "/"},
@@ -1477,27 +1483,33 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
             ("utils.trans", "utils/trans.py"),
             ("metrics.accurate", "metrics/accurate.py"),
             ("metrics.diversity", "metrics/diversity.py"),
-            ("model.LightGCN.model", "model/LightGCN/model.py"),
-            ("model.LightGCN.loss", "model/LightGCN/loss.py"),
-            ("model.LightGCN.evaluation", "model/LightGCN/evaluation.py"),
-            ("model.LightGCN.train", "model/LightGCN/train.py"),
+            (f"model.{flavor}.model", f"model/{flavor}/model.py"),
+            (f"model.{flavor}.loss", f"model/{flavor}/loss.py"),
+            (f"model.{flavor}.evaluation", f"model/{flavor}/evaluation.py"),
+            (f"model.{flavor}.train", f"model/{flavor}/train.py"),
         ):
             spec = importlib.util.spec_from_file_location(name, REF_ROOT / rel)
             mod = importlib.util.module_from_spec(spec)
             sys.modules[name] = mod
             spec.loader.exec_module(mod)
-        ref_model_mod = sys.modules["model.LightGCN.model"]
-        ref_loss_mod = sys.modules["model.LightGCN.loss"]
-        ref_train_mod = sys.modules["model.LightGCN.train"]
+        ref_model_mod = sys.modules[f"model.{flavor}.model"]
+        ref_loss_mod = sys.modules[f"model.{flavor}.loss"]
+        ref_train_mod = sys.modules[f"model.{flavor}.train"]
 
         saved_choices = ref_loss_mod.random.choices
         ref_loss_mod.random.choices = _choices
 
         torch.set_default_dtype(torch.float64)
 
-        # capture the torch-seeded init (trainLightGCN re-seeds identically)
+        # capture the torch-seeded init (trainLightGCN[Opti] re-seeds
+        # identically; for Opti the Linear inits also draw from this seed)
         torch.manual_seed(seed)
-        m0 = ref_model_mod.LightGCN(U, I, D, layers)
+        if opti:
+            uf_t = torch.from_numpy(uf)
+            if_t = torch.from_numpy(itf)
+            m0 = ref_model_mod.LightGCNOpti(U, I, D, layers, uf_t, if_t)
+        else:
+            m0 = ref_model_mod.LightGCN(U, I, D, layers)
         ue0 = m0.users_emb.weight.detach().numpy().copy()
         ie0 = m0.items_emb.weight.detach().numpy().copy()
 
@@ -1505,17 +1517,22 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
             j = np.stack([us.astype(np.int64), its.astype(np.int64) + U])
             return torch.from_numpy(np.concatenate([j, j[::-1]], axis=1))
 
-        model = ref_train_mod.trainLightGCN(
-            U, I, _joint(np.concatenate([eu, vu]), np.concatenate([ei, vi])),
-            _joint(eu, ei), _joint(vu, vi),
-        )
+        joint_all = _joint(np.concatenate([eu, vu]), np.concatenate([ei, vi]))
+        if opti:
+            model = ref_train_mod.trainLightGCNOpti(
+                U, I, joint_all, _joint(eu, ei), _joint(vu, vi), uf_t, if_t
+            )
+        else:
+            model = ref_train_mod.trainLightGCN(
+                U, I, joint_all, _joint(eu, ei), _joint(vu, vi)
+            )
         uf_ref = model.users_emb.weight.detach().numpy().copy()
         if_ref = model.items_emb.weight.detach().numpy().copy()
-        ref_hist = pd.read_csv(tmp_path / f"LightGCN_{k}_val_metrics.csv")
+        ref_hist = pd.read_csv(tmp_path / f"{flavor}_{k}_val_metrics.csv")
     finally:
         torch.set_default_dtype(default_dtype)
         if saved_choices is not None:
-            sys.modules["model.LightGCN.loss"].random.choices = saved_choices
+            sys.modules[f"model.{flavor}.loss"].random.choices = saved_choices
         for n, m in saved.items():
             if m is None:
                 sys.modules.pop(n, None)
@@ -1580,17 +1597,23 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch):
         return t[0], t[1], t[2]
 
     monkeypatch.setattr(trainer_mod, "sample_bpr_batch", sampler_stub)
-    monkeypatch.setattr(
-        trainer_mod, "init_lightgcn",
-        lambda _key, _U, _I, _dim, dtype=None: LightGCNParams(
-            jnp.asarray(ue0), jnp.asarray(ie0)
-        ),
-    )
+    # inject the captured torch-seeded init (for Opti this includes the
+    # reference's feature-projection draws); arrays are built lazily so the
+    # jnp conversion happens INSIDE the x64-enabled block below
+    def _init_stub(*_a, **_kw):
+        return LightGCNParams(jnp.asarray(ue0), jnp.asarray(ie0))
+
+    monkeypatch.setattr(trainer_mod, "init_lightgcn", _init_stub)
+    monkeypatch.setattr(trainer_mod, "init_lightgcn_opti", _init_stub)
 
     x64_was = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
-        result = trainer_mod.train_lightgcn(graph, cfg, save_artifacts=False)
+        result = trainer_mod.train_lightgcn(
+            graph, cfg,
+            user_features=uf, item_features=itf,
+            save_artifacts=False,
+        )
     finally:
         jax.config.update("jax_enable_x64", x64_was)
 
