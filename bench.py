@@ -183,6 +183,54 @@ def bench_train(devices, hp, graph, n_steps: int, variant: str) -> float:
     return hp.batch_size * n_steps / dt
 
 
+def bench_train_coo(devices, hp, n_steps: int) -> float:
+    """examples/s of the scalable (COO/segment-sum) train scan at a catalog
+    too large to densify (50k x 30k would be a 6 GB dense incidence —
+    choose_propagation picks "coo"). Measures the path the trainer actually
+    uses beyond the dense regime; no (U, I) array exists anywhere."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.ops.propagation import edge_gcn_norm
+    from lgcnhs_tpu.ops.scalable import user_csr
+    from lgcnhs_tpu.data.graph import EdgeSet
+    from lgcnhs_tpu.train.trainer import lr_schedule, make_coo_train_scan
+
+    dev = devices[0]
+    U, I, E = 50_000, 30_000, 2_000_000
+    rng = np.random.default_rng(3)
+    eu = rng.integers(0, U, E).astype(np.int32)
+    ei = rng.integers(0, I, E).astype(np.int32)
+    put = lambda x: jax.device_put(jnp.asarray(x), dev)
+
+    edge_users, edge_items = put(eu), put(ei)
+    edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+    rowptr_np, cols_np = user_csr(U, EdgeSet(eu, ei))
+    rowptr, cols = put(rowptr_np), put(cols_np)
+    params = jax.tree.map(put, init_lightgcn(jax.random.PRNGKey(0), U, I, EMBED_DIM))
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+    opt_state = jax.tree.map(put, optimizer.init(params))
+    scan = make_coo_train_scan(optimizer, hp, U, I)
+    key = jax.device_put(jax.random.PRNGKey(7), dev)
+
+    params, opt_state, loss = scan(
+        params, opt_state, key, 0, n_steps, edge_users, edge_items, edge_norm,
+        rowptr, cols,
+    )
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    params, opt_state, loss = scan(
+        params, opt_state, key, n_steps, n_steps, edge_users, edge_items,
+        edge_norm, rowptr, cols,
+    )
+    loss.block_until_ready()
+    return hp.batch_size * n_steps / (time.perf_counter() - t0)
+
+
 def bench_retrieval(graph, reps: int = 30) -> float:
     """users/s of full-catalog masked top-k retrieval (the serving kernel
     recommend_gcn dispatches to on TPU)."""
@@ -434,6 +482,10 @@ def main() -> None:
     except Exception as exc:  # CPU backend unavailable: report ratio 1
         log(f"CPU baseline unavailable: {exc}")
         vs_baseline = 1.0
+
+    coo_rate = bench_train_coo(tpu_devices, hp, TPU_STEPS if on_tpu else 5)
+    log(f"train COO/segment-sum (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
+    extra["train_coo_50kx30k_eps"] = round(coo_rate, 1)
 
     qps = bench_retrieval(graph)
     log(f"retrieval: {qps:,.0f} users/s")

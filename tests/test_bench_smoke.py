@@ -31,6 +31,14 @@ def test_bench_serving_and_reference_rows_run_tiny(monkeypatch):
     assert bench.bench_serve_fused(graph, cfg.hparams.lambda_, reps=2) > 0
 
 
+def test_bench_train_coo_runs_tiny(monkeypatch):
+    cfg, hp, graph, _prov = _tiny(monkeypatch)
+    # problem size (50k x 30k, 2M edges) is fixed inside the row; keep D and
+    # the step count tiny so the CPU run stays in seconds
+    monkeypatch.setattr(bench, "EMBED_DIM", 8)
+    assert bench.bench_train_coo(jax.devices("cpu"), hp, 2) > 0
+
+
 def test_bench_reference_diffusion_row(monkeypatch):
     ref_s, ours_s = bench.bench_reference_diffusion()
     if ref_s is None:
