@@ -52,7 +52,10 @@ def _reference_metrics(ref, graph, dataset: str, method: str, lam: float, k: int
     val_df = pd.DataFrame({"user_id": graph.val.users, "item_id": graph.val.items})
     test_df = pd.DataFrame({"user_id": graph.test.users, "item_id": graph.test.items})
 
-    ref.cfg.DATA_SET = dataset
+    # movielens1m inherits the movielens quirks on OUR side
+    # (models/spread.resolve_spread_variant); give the reference the same
+    # DATA_SET string a reference user would set for the ml-1m files
+    ref.cfg.DATA_SET = "movielens" if dataset == "movielens1m" else dataset
     # MODEL["name"] drives the ProbS-on-movielens skip-filter quirk
     # (model/SpreadMethod/recommend.py:48-50)
     ref.cfg.MODEL["name"] = method

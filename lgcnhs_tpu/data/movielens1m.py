@@ -109,10 +109,9 @@ def ml1m_user_features(users: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
     age_oh = np.stack(
         [one_hot(age_bucket(int(a)), N_AGE_BUCKETS) for a in users["age"]]
     ).astype(np.float32)
+    # one_hot yields an all-zero vector for out-of-range codes
     occ_oh = np.stack(
-        [one_hot(int(o), N_OCCUPATIONS_1M) if 0 <= int(o) < N_OCCUPATIONS_1M
-         else one_hot(-1, N_OCCUPATIONS_1M)
-         for o in users["occupation"]]
+        [one_hot(int(o), N_OCCUPATIONS_1M) for o in users["occupation"]]
     ).astype(np.float32)
     return (
         users["user_id"].to_numpy(),

@@ -95,7 +95,7 @@ int64_t parse_rating_rows(const char* path, const char* sep, int32_t* users,
         const char* start = q;
         while (q < eol && *q >= '0' && *q <= '9')
           field[c] = field[c] * 10 + (*q++ - '0');
-        if (q == start) { ok = false; break; }
+        if (q == start || field[c] > INT32_MAX) { ok = false; break; }
         if (c < 3) {
           if (q + sep_len <= eol && std::memcmp(q, sep, sep_len) == 0)
             q += sep_len;

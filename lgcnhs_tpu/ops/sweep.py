@@ -41,6 +41,17 @@ SWEEP_AXIS = "sweep"
 METRIC_COLUMNS = ("P", "R", "NDCG", "H", "I")
 
 
+def _blended_transfer(W_gen, k_item, lam):
+    """Per-grid-point HybridS transfer: W_gen / (k_i^(1-lam) (x) k_j^lam)
+    with the reference's zero-degree guard
+    (``model/SpreadMethod/model.py:62-85``). Shared by both sweep layouts so
+    their promised row-identity can't drift apart."""
+    alpha = jnp.power(k_item, 1.0 - lam)
+    beta = jnp.power(k_item, lam)
+    denom = alpha[:, None] * beta[None, :]
+    return W_gen / jnp.where(denom == 0, 1.0, denom)
+
+
 def _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items):
     """All five raw (unrounded) reference metrics for one (U, k) rec array."""
     hits = metrics_ops.hit_matrix(rec, eval_pos)
@@ -75,10 +86,7 @@ def lambda_sweep_metrics(
     n_items = A.shape[1]
 
     def body(lam):
-        alpha = jnp.power(k_item, 1.0 - lam)
-        beta = jnp.power(k_item, lam)
-        denom = alpha[:, None] * beta[None, :]
-        W = W_gen / jnp.where(denom == 0, 1.0, denom)
+        W = _blended_transfer(W_gen, k_item, lam)
         F = jnp.dot(
             A, W, precision=jax.lax.Precision.HIGHEST, preferred_element_type=A.dtype
         )
@@ -96,10 +104,11 @@ def lambda_sweep_metrics(
 SWEEP_REPLICATION_BUDGET_BYTES = 4 * 1024**3
 
 
-def _replicated_sweep_bytes(n_users: int, n_items: int) -> int:
+def _replicated_sweep_bytes(n_users: int, n_items: int, itemsize: int = 4) -> int:
     """Per-device high-water estimate of the grid-parallel sweep: replicated
-    operands + one grid point's (I, I) W and (U, I) F temporaries."""
-    return 4 * (3 * n_items * n_items + 6 * n_users * n_items)
+    operands + one grid point's (I, I) W and (U, I) F temporaries, at the
+    operands' element size (8 under the float64 parity configuration)."""
+    return itemsize * (3 * n_items * n_items + 6 * n_users * n_items)
 
 
 def sharded_lambda_sweep(
@@ -130,7 +139,9 @@ def sharded_lambda_sweep(
       matmuls + the distributed spread ranker (``item_sharded_lambda_sweep``).
 
     Both layouts produce identical rows (pinned in tests/test_sweep.py)."""
-    if _replicated_sweep_bytes(A.shape[0], A.shape[1]) > memory_budget_bytes:
+    if _replicated_sweep_bytes(
+        A.shape[0], A.shape[1], jnp.asarray(A).dtype.itemsize
+    ) > memory_budget_bytes:
         return item_sharded_lambda_sweep(
             mesh, lambdas, G, A, W_gen, seen, eval_pos, eval_counts,
             eval_present, S, k,
@@ -214,14 +225,13 @@ def item_sharded_lambda_sweep(
 
     block = I_pad // n_shards
 
+    # lambda-invariant: item degrees hoisted out of the grid loop
+    k_item_host = jnp.sum(A, axis=0)
+
     @partial(jax.jit, static_argnames=("k", "n_items"))
-    def point(lam, G, A, W_gen, seen, eval_pos, eval_counts, eval_present, S,
-              k, n_items):
-        k_item = jnp.sum(A, axis=0)
-        alpha = jnp.power(k_item, 1.0 - lam)
-        beta = jnp.power(k_item, lam)
-        denom = alpha[:, None] * beta[None, :]
-        W = W_gen / jnp.where(denom == 0, 1.0, denom)
+    def point(lam, G, A, k_item, W_gen, seen, eval_pos, eval_counts,
+              eval_present, S, k, n_items):
+        W = _blended_transfer(W_gen, k_item, lam)
         W = jax.lax.with_sharding_constraint(W, item_cols)
         F = jnp.dot(
             A, W, precision=jax.lax.Precision.HIGHEST, preferred_element_type=A.dtype
@@ -236,8 +246,8 @@ def item_sharded_lambda_sweep(
         return _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items)
 
     rows = [
-        point(jnp.float32(lam), G, A, W_gen, seen, eval_pos, eval_counts,
-              eval_present, S, k, I)
+        point(jnp.float32(lam), G, A, k_item_host, W_gen, seen, eval_pos,
+              eval_counts, eval_present, S, k, I)
         for lam in np.asarray(lambdas, np.float32)
     ]
     return jnp.stack(rows)

@@ -572,27 +572,29 @@ def make_sharded_coo_train_scan(plan: ShardingPlan, optimizer, hp,
     return train_scan
 
 
-def distributed_csr_masked_topk(
+def make_distributed_csr_masked_topk(
     mesh: Mesh,
-    user_emb,
-    item_emb,
     rowptr: np.ndarray,
     cols: np.ndarray,
-    k: int,
+    n_users: int,
 ):
-    """User-sharded flavor of ``ops.scalable.chunked_masked_topk`` — the
-    COO-regime retrieval under a mesh. Users are split over every device of
-    the mesh; each device scores its user block against the (replicated,
-    chip-sized) item table, scatters its block's CSR edges into a local
-    (U/n_dev, I) seen mask, and takes the masked top-k. No (U, I) array ever
-    exists globally; per-device peak is one (U/n_dev, I) score block. Emits
-    exactly ``ops.topk.masked_topk``'s ids (user-axis chunking cannot change
-    per-user results; pinned in tests/test_sharding.py)."""
+    """Build the user-sharded flavor of ``ops.scalable.chunked_masked_topk``
+    — the COO-regime retrieval under a mesh. The training-invariant parts
+    (per-device CSR scatter arrays, their uploads, the shard_map program) are
+    staged ONCE here; the returned ``fn(user_emb, item_emb, k)`` only ships
+    the embeddings per call (the trainer invokes it every eval).
+
+    Users are split over every device of the mesh; each device scores its
+    user block against the (replicated, chip-sized) item table, scatters its
+    block's CSR edges into a local (U/n_dev, I) seen mask, and takes the
+    masked top-k. No (U, I) array ever exists globally; per-device peak is
+    one (U/n_dev, I) score block. Emits exactly ``ops.topk.masked_topk``'s
+    ids (user-axis chunking cannot change per-user results; pinned in
+    tests/test_sharding.py)."""
     from lgcnhs_tpu.ops.topk import masked_topk
 
     n_dev = int(mesh.devices.size)
-    user_emb = np.asarray(user_emb)
-    U, D = user_emb.shape
+    U = n_users
     U_pad = _pad_len(U, n_dev)
     blk = U_pad // n_dev
     rowptr = np.asarray(rowptr)
@@ -619,38 +621,58 @@ def distributed_csr_masked_topk(
         cols_sh[d, :n_e] = cols[lo:hi]
         valid_sh[d, :n_e] = True
 
-    ue = np.zeros((U_pad, D), user_emb.dtype)
-    ue[:U] = user_emb
-
     user_rows = NamedSharding(mesh, P((DATA_AXIS, MODEL_AXIS), None))
-    ue_j = jax.device_put(jnp.asarray(ue), user_rows)
     rows_j = jax.device_put(jnp.asarray(rows_sh), user_rows)
     cols_j = jax.device_put(jnp.asarray(cols_sh), user_rows)
     valid_j = jax.device_put(jnp.asarray(valid_sh), user_rows)
-    ie_j = jax.device_put(jnp.asarray(item_emb), NamedSharding(mesh, P()))
 
-    def local(ue_blk, rows, ccols, valid, ie):
-        scores = jnp.dot(
-            ue_blk, ie.T,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=ue_blk.dtype,
-        )
-        seen = jnp.zeros(scores.shape, bool).at[rows[0], ccols[0]].max(valid[0])
-        return masked_topk(scores, seen, k)
+    def run(user_emb, item_emb, k: int):
+        user_emb = np.asarray(user_emb)
+        ue = np.zeros((U_pad, user_emb.shape[1]), user_emb.dtype)
+        ue[:U] = user_emb
+        ue_j = jax.device_put(jnp.asarray(ue), user_rows)
+        ie_j = jax.device_put(jnp.asarray(item_emb), NamedSharding(mesh, P()))
 
-    out = jax.jit(
-        shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(
-                P((DATA_AXIS, MODEL_AXIS), None),
-                P((DATA_AXIS, MODEL_AXIS), None),
-                P((DATA_AXIS, MODEL_AXIS), None),
-                P((DATA_AXIS, MODEL_AXIS), None),
-                P(),
-            ),
-            out_specs=P((DATA_AXIS, MODEL_AXIS), None),
-            check_vma=False,
-        )
-    )(ue_j, rows_j, cols_j, valid_j, ie_j)
-    return np.asarray(out)[:U]
+        def local(ue_blk, rows, ccols, valid, ie):
+            scores = jnp.dot(
+                ue_blk, ie.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=ue_blk.dtype,
+            )
+            seen = jnp.zeros(scores.shape, bool).at[rows[0], ccols[0]].max(valid[0])
+            return masked_topk(scores, seen, k)
+
+        out = jax.jit(
+            shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P((DATA_AXIS, MODEL_AXIS), None),
+                    P((DATA_AXIS, MODEL_AXIS), None),
+                    P((DATA_AXIS, MODEL_AXIS), None),
+                    P((DATA_AXIS, MODEL_AXIS), None),
+                    P(),
+                ),
+                out_specs=P((DATA_AXIS, MODEL_AXIS), None),
+                check_vma=False,
+            )
+        )(ue_j, rows_j, cols_j, valid_j, ie_j)
+        return np.asarray(out)[:U]
+
+    return run
+
+
+def distributed_csr_masked_topk(
+    mesh: Mesh,
+    user_emb,
+    item_emb,
+    rowptr: np.ndarray,
+    cols: np.ndarray,
+    k: int,
+):
+    """One-shot convenience wrapper over ``make_distributed_csr_masked_topk``
+    (stages and runs once; repeated callers should hold the closure)."""
+    run = make_distributed_csr_masked_topk(
+        mesh, rowptr, cols, int(np.asarray(user_emb).shape[0])
+    )
+    return run(user_emb, item_emb, k)

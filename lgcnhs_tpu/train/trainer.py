@@ -381,9 +381,11 @@ def train_lightgcn(
         U_pad, I_pad = padded_catalog(plan, U, I)
         # training tensors: incidence/positives item-sharded (padded), edges
         # replicated at true length (exact single-device sample stream)
+        # incidences built at the configured dtype (f64 parity under a mesh
+        # must match the single-device f64 path exactly)
         R_hat, train_pos, edge_users, edge_items = shard_train_inputs(
             plan,
-            normalized_bipartite(U, I, graph.train),
+            normalized_bipartite(U, I, graph.train, dtype=dtype),
             pos_bool_matrix(U, I, graph.train),
             graph.train.users,
             graph.train.items,
@@ -393,8 +395,8 @@ def train_lightgcn(
         opt_state = optimizer.init(params)  # sharded like the tables
 
         item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
-        R_val_np = np.zeros((U_pad, I_pad), np.float32)
-        R_val_np[:U, :I] = normalized_bipartite(U, I, graph.val)
+        R_val_np = np.zeros((U_pad, I_pad), dtype)
+        R_val_np[:U, :I] = normalized_bipartite(U, I, graph.val, dtype=dtype)
         R_hat_val = jax.device_put(jnp.asarray(R_val_np, dtype), item_cols)
         # eval matrices item-padded to I_pad columns (False/0 padding is
         # inert: rec ids are always < I because padded columns enter the
@@ -567,18 +569,21 @@ def train_lightgcn(
                 h = metrics_ops.hamming_distance(rec, I)
                 return p, r, n, h
 
+            if mesh is not None:
+                # user-sharded retrieval: each device scores U/n_dev users
+                # vs the full table, no (U, I) global block; the sharded CSR
+                # scatter arrays are staged once, not per eval
+                from lgcnhs_tpu.parallel.sharding import (
+                    make_distributed_csr_masked_topk,
+                )
+
+                csr_topk = make_distributed_csr_masked_topk(
+                    mesh, rowptr_np, cols_np, U
+                )
+
             def eval_fn(params):
                 if mesh is not None:
-                    # user-sharded retrieval: each device scores U/n_dev
-                    # users vs the full table, no (U, I) global block
-                    from lgcnhs_tpu.parallel.sharding import (
-                        distributed_csr_masked_topk,
-                    )
-
-                    rec = distributed_csr_masked_topk(
-                        mesh, params.user_emb, params.item_emb,
-                        rowptr_np, cols_np, cfg.k,
-                    )
+                    rec = csr_topk(params.user_emb, params.item_emb, cfg.k)
                 else:
                     rec = scalable.chunked_masked_topk(
                         params.user_emb, params.item_emb, rowptr_np, cols_np, cfg.k
