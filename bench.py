@@ -183,11 +183,16 @@ def bench_train(devices, hp, graph, n_steps: int, variant: str) -> float:
     return hp.batch_size * n_steps / dt
 
 
-def bench_train_coo(devices, hp, n_steps: int) -> float:
+def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
     """examples/s of the scalable (COO/segment-sum) train scan at a catalog
     too large to densify (50k x 30k would be a 6 GB dense incidence —
     choose_propagation picks "coo"). Measures the path the trainer actually
-    uses beyond the dense regime; no (U, I) array exists anywhere."""
+    uses beyond the dense regime; no (U, I) array exists anywhere.
+
+    Dispatched in <=``chunk``-step scans: the tunneled axon TPU kills any
+    single on-device execution that runs long (measured: a 200-step scan at
+    0.35 s/step died UNAVAILABLE; 5 steps fine), and chunking still
+    amortizes dispatch overhead over ``chunk`` steps."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -217,18 +222,24 @@ def bench_train_coo(devices, hp, n_steps: int) -> float:
     scan = make_coo_train_scan(optimizer, hp, U, I)
     key = jax.device_put(jax.random.PRNGKey(7), dev)
 
+    chunk = min(chunk, n_steps)
     params, opt_state, loss = scan(
-        params, opt_state, key, 0, n_steps, edge_users, edge_items, edge_norm,
+        params, opt_state, key, 0, chunk, edge_users, edge_items, edge_norm,
         rowptr, cols,
     )
     loss.block_until_ready()
+    epoch = chunk
     t0 = time.perf_counter()
-    params, opt_state, loss = scan(
-        params, opt_state, key, n_steps, n_steps, edge_users, edge_items,
-        edge_norm, rowptr, cols,
-    )
+    done = 0
+    while done < n_steps:
+        params, opt_state, loss = scan(
+            params, opt_state, key, epoch, chunk, edge_users, edge_items,
+            edge_norm, rowptr, cols,
+        )
+        epoch += chunk
+        done += chunk
     loss.block_until_ready()
-    return hp.batch_size * n_steps / (time.perf_counter() - t0)
+    return hp.batch_size * done / (time.perf_counter() - t0)
 
 
 def bench_retrieval(graph, reps: int = 30) -> float:

@@ -52,10 +52,14 @@ def fused_recommend(
 ) -> jnp.ndarray:
     """G -> F -> F_new = G*F -> ranked top-k, one XLA program
     (reference call chain ``SpreadLightGCN/model.py:122-153`` +
-    ``recommend.py:18-75``)."""
+    ``recommend.py:18-75``). F dispatches by catalog size
+    (``ops.diffusion.choose_diffusion``): at parity scales this traces the
+    exact dense W_gen chain; past the (I, I) budget it switches to the
+    W-free user-factored or blocked streaming algorithm."""
+    from lgcnhs_tpu.ops.diffusion import diffusion_scores_auto
+
     G = allocate_matrix(params, seen)
-    W_gen = general_spreading_matrix(A)
-    F = hybrid_resource(A, W_gen, lam)
+    F = diffusion_scores_auto(A, lam)
     F_new = G * F
     return rank_exclude_seen_topk(F_new, seen, k, filter_seen=True)
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from lgcnhs_tpu.config import Config
 from lgcnhs_tpu.data.graph import InteractionGraph, interaction_matrix, pos_bool_matrix
-from lgcnhs_tpu.ops.diffusion import diffusion_scores
+from lgcnhs_tpu.ops.diffusion import diffusion_scores_auto
 from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
 
@@ -52,9 +52,14 @@ def resolve_spread_variant(method: str, dataset: str, lam: float):
 def spread_scores(
     A: np.ndarray, method: str, dataset: str, lam: float
 ) -> jnp.ndarray:
-    """Resource matrix F for a spread method incl. quirks."""
+    """Resource matrix F for a spread method incl. quirks. Dispatches by
+    catalog size (``ops.diffusion.choose_diffusion``): the dense reference-
+    order program at every parity scale, the W-free user-factored / blocked
+    streaming algorithms once (I, I) outgrows a chip."""
     eff_lam, transpose_w, _ = resolve_spread_variant(method, dataset, lam)
-    return diffusion_scores(jnp.asarray(A), jnp.asarray(eff_lam, A.dtype), transpose_w=transpose_w)
+    return diffusion_scores_auto(
+        jnp.asarray(A), jnp.asarray(eff_lam, A.dtype), transpose_w=transpose_w
+    )
 
 
 def recommend_spread_method(

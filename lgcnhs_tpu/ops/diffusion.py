@@ -126,6 +126,92 @@ def blocked_diffusion_scores(
 
 
 @partial(jax.jit, static_argnames=("transpose_w",))
+def user_factored_diffusion_scores(
+    A: jnp.ndarray, lam: jnp.ndarray, transpose_w: bool = False
+) -> jnp.ndarray:
+    """F = A . HybridS(W_gen, lam) with NO item x item intermediate at all.
+
+    The HybridS blend is a diagonal congruence, W = D1 W_gen D2 with
+    D1 = diag(k_item^-(1-lam)) and D2 = diag(k_item^-lam)
+    (``model/SpreadMethod/model.py:63-85``), and W_gen = An^T A
+    (``model.py:14-27``), so by associativity
+
+        F = A W = (A D1 . An^T) . (A D2)              -- this op
+        F = A (D1 W_gen^T D2) = (A D1 . A^T) . (An D2)  -- transpose quirk
+
+    The only large intermediate is the (U, U) user-similarity product:
+    2 U^2 I MXU FLOPs vs U I^2 for any W-materializing path, and O(U^2 + U I)
+    memory vs O(I^2) — strictly better whenever 2U < I (tall catalogs, e.g.
+    Douban's quantile band keeps few users against the full movie catalog,
+    ``const.py:233-236``). Bitwise it differs from ``diffusion_scores`` only
+    in float summation order; ``diffusion_scores_auto`` therefore selects it
+    only in the regime where the dense path cannot run at all.
+
+    Per-factor zero-degree clamping is exact: the reference clamps the
+    PRODUCT alpha_i*beta_j (``model.py:83-84``), but a zero-degree item has
+    an identically zero W_gen row and column (its A column is zero), so
+    W's entries are 0 under either clamping.
+    """
+    k_user = jnp.sum(A, axis=1)
+    k_user = jnp.where(k_user == 0, 1.0, k_user)
+    An = A / k_user[:, None]
+
+    k_item = jnp.sum(A, axis=0)
+    alpha = jnp.power(k_item, 1.0 - lam)  # W row scaling
+    beta = jnp.power(k_item, lam)  # W column scaling
+    a_inv = 1.0 / jnp.where(alpha == 0, 1.0, alpha)
+    b_inv = 1.0 / jnp.where(beta == 0, 1.0, beta)
+
+    hi = jax.lax.Precision.HIGHEST
+    if transpose_w:
+        left, right = A * a_inv[None, :], An * b_inv[None, :]
+        M = jnp.dot(left, A.T, precision=hi, preferred_element_type=A.dtype)
+    else:
+        left, right = A * a_inv[None, :], A * b_inv[None, :]
+        M = jnp.dot(left, An.T, precision=hi, preferred_element_type=A.dtype)
+    return jnp.dot(M, right, precision=hi, preferred_element_type=A.dtype)
+
+
+# One (I, I) array this large and the dense transfer-matrix path stops being
+# viable on a single chip (v5e: 16 GB HBM; 4 GB mirrors the trainer's
+# choose_propagation densify bound, train/trainer.py).
+DENSE_TRANSFER_BUDGET_BYTES = int(4e9)
+
+
+def choose_diffusion(
+    n_users: int,
+    n_items: int,
+    itemsize: int = 4,
+    budget_bytes: int = DENSE_TRANSFER_BUDGET_BYTES,
+) -> str:
+    """Dispatch rule for ``diffusion_scores_auto``: "dense" while the (I, I)
+    transfer matrix fits the budget (bit-identical to the reference's
+    operation order — the parity path), else "factored" when 2U < I (fewer
+    FLOPs and no I^2 anywhere), else "blocked" (streams W in item blocks)."""
+    if n_items * n_items * itemsize <= budget_bytes:
+        return "dense"
+    return "factored" if 2 * n_users < n_items else "blocked"
+
+
+def diffusion_scores_auto(
+    A: jnp.ndarray, lam: jnp.ndarray, transpose_w: bool = False, block: int = 512
+) -> jnp.ndarray:
+    """Size-dispatching diffusion scoring: exactly ``diffusion_scores`` in
+    the regime every parity test runs in, and the best W-free algorithm
+    (``user_factored_diffusion_scores`` / ``blocked_diffusion_scores``) once
+    the catalog outgrows a materialized (I, I) transfer matrix."""
+    choice = choose_diffusion(
+        A.shape[0], A.shape[1], jnp.asarray(A).dtype.itemsize,
+        budget_bytes=DENSE_TRANSFER_BUDGET_BYTES,
+    )
+    if choice == "dense":
+        return diffusion_scores(A, lam, transpose_w=transpose_w)
+    if choice == "factored":
+        return user_factored_diffusion_scores(A, lam, transpose_w=transpose_w)
+    return blocked_diffusion_scores(A, lam, block=block, transpose_w=transpose_w)
+
+
+@partial(jax.jit, static_argnames=("transpose_w",))
 def diffusion_scores(
     A: jnp.ndarray, lam: jnp.ndarray, transpose_w: bool = False
 ) -> jnp.ndarray:

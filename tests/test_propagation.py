@@ -2,9 +2,11 @@ import numpy as np
 
 from lgcnhs_tpu.data.graph import EdgeSet, normalized_bipartite
 from lgcnhs_tpu.ops.propagation import (
+    build_edge_ordering,
     edge_gcn_norm,
     lightgcn_propagate,
     lightgcn_propagate_coo,
+    lightgcn_propagate_coo_sorted,
 )
 from tests import reference_formulas as ref
 
@@ -40,6 +42,41 @@ def test_coo_path_matches_dense_path():
     cu, ci = lightgcn_propagate_coo(user_emb, item_emb, eu, ei, norm, U, I, K)
     np.testing.assert_allclose(np.asarray(cu), np.asarray(du), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ci), np.asarray(di), rtol=1e-4, atol=1e-5)
+
+
+def test_sorted_coo_matches_unsorted_forward_and_grad():
+    import jax
+    import jax.numpy as jnp
+
+    eu, ei, user_emb, item_emb = _setup()
+    norm = edge_gcn_norm(eu, ei, U, I)
+    order = build_edge_ordering(jnp.asarray(eu), jnp.asarray(ei), norm)
+
+    cu, ci = lightgcn_propagate_coo(user_emb, item_emb, eu, ei, norm, U, I, K)
+    su, si = lightgcn_propagate_coo_sorted(
+        jnp.asarray(user_emb), jnp.asarray(item_emb), order, U, I, K
+    )
+    np.testing.assert_allclose(np.asarray(su), np.asarray(cu), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(si), np.asarray(ci), rtol=1e-5, atol=1e-6)
+
+    # the custom VJP (self-adjoint pair applied to cotangents) must equal
+    # autodiff through the unsorted segment-sum forward
+    def loss_unsorted(ue, ie):
+        u, i = lightgcn_propagate_coo(ue, ie, eu, ei, norm, U, I, K)
+        return jnp.sum(u * u) + jnp.sum(jnp.sin(i))
+
+    def loss_sorted(ue, ie):
+        u, i = lightgcn_propagate_coo_sorted(ue, ie, order, U, I, K)
+        return jnp.sum(u * u) + jnp.sum(jnp.sin(i))
+
+    gu0, gi0 = jax.grad(loss_unsorted, argnums=(0, 1))(
+        jnp.asarray(user_emb), jnp.asarray(item_emb)
+    )
+    gu1, gi1 = jax.grad(loss_sorted, argnums=(0, 1))(
+        jnp.asarray(user_emb), jnp.asarray(item_emb)
+    )
+    np.testing.assert_allclose(np.asarray(gu1), np.asarray(gu0), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi1), np.asarray(gi0), rtol=1e-4, atol=1e-5)
 
 
 def test_zero_degree_nodes_stay_finite():
