@@ -198,7 +198,7 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
     import optax
 
     from lgcnhs_tpu.models.lightgcn import init_lightgcn
-    from lgcnhs_tpu.ops.propagation import edge_gcn_norm
+    from lgcnhs_tpu.ops.propagation import build_bucketed_incidence, edge_gcn_norm
     from lgcnhs_tpu.ops.scalable import user_csr
     from lgcnhs_tpu.data.graph import EdgeSet
     from lgcnhs_tpu.train.trainer import lr_schedule, make_coo_train_scan
@@ -212,6 +212,7 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
 
     edge_users, edge_items = put(eu), put(ei)
     edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+    binc = jax.tree.map(put, build_bucketed_incidence(eu, ei, np.asarray(edge_norm), U, I))
     rowptr_np, cols_np = user_csr(U, EdgeSet(eu, ei))
     rowptr, cols = put(rowptr_np), put(cols_np)
     params = jax.tree.map(put, init_lightgcn(jax.random.PRNGKey(0), U, I, EMBED_DIM))
@@ -224,7 +225,7 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
 
     chunk = min(chunk, n_steps)
     params, opt_state, loss = scan(
-        params, opt_state, key, 0, chunk, edge_users, edge_items, edge_norm,
+        params, opt_state, key, 0, chunk, binc, edge_users, edge_items,
         rowptr, cols,
     )
     loss.block_until_ready()
@@ -233,8 +234,8 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
     done = 0
     while done < n_steps:
         params, opt_state, loss = scan(
-            params, opt_state, key, epoch, chunk, edge_users, edge_items,
-            edge_norm, rowptr, cols,
+            params, opt_state, key, epoch, chunk, binc, edge_users, edge_items,
+            rowptr, cols,
         )
         epoch += chunk
         done += chunk
@@ -495,7 +496,7 @@ def main() -> None:
         vs_baseline = 1.0
 
     coo_rate = bench_train_coo(tpu_devices, hp, TPU_STEPS if on_tpu else 5)
-    log(f"train COO/segment-sum (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
+    log(f"train COO/bucketed (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
     extra["train_coo_50kx30k_eps"] = round(coo_rate, 1)
 
     qps = bench_retrieval(graph)

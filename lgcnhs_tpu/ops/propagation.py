@@ -25,6 +25,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("n_layers", "bf16_matmul"))
@@ -190,6 +191,140 @@ def lightgcn_propagate_coo_sorted(
     order within a segment differs, float-level only), sorted scatters in
     forward and backward."""
     pair = make_coo_propagator(order, n_users, n_items)
+    eu, ei = user_emb, item_emb
+    acc_u, acc_i = eu, ei
+    for _ in range(n_layers):
+        eu, ei = pair(eu, ei)
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (n_layers + 1)
+    return acc_u * scale, acc_i * scale
+
+
+class BucketedSide(NamedTuple):
+    """Degree-bucketed ELL layout of one aggregation direction.
+
+    TPU profile at E=2M, D=64 (one v5e chip): a same-volume gather+reduce
+    runs 6.5 ms but ``segment_sum`` costs 22 ms sorted / 35 ms unsorted —
+    the scatter-add is the COO path's real bottleneck, not the gather. This
+    layout removes scatters entirely: nodes are grouped by
+    next-power-of-two degree; each bucket stores a padded (Nb, Pb) neighbor
+    matrix + weight matrix, aggregation is gather + dense masked sum over
+    the pad axis, and results are reassembled by ONE inverse-permutation
+    gather (zero-degree nodes read an appended zeros row).
+    """
+
+    nbr: tuple  # per bucket: (Nb, Pb) int32 neighbor ids (0-padded)
+    w: tuple  # per bucket: (Nb, Pb) f32 edge weights (0-padded)
+    inv: jnp.ndarray  # (n_out,) int32 row of each node in concat(+zeros)
+
+
+class BucketedIncidence(NamedTuple):
+    users: BucketedSide  # aggregates item vectors INTO users
+    items: BucketedSide  # aggregates user vectors INTO items
+
+
+def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
+    ids = np.asarray(ids)
+    nbrs = np.asarray(nbrs)
+    w = np.asarray(w, np.float32)
+    order = np.argsort(ids, kind="stable")
+    ids_s, nbrs_s, w_s = ids[order], nbrs[order], w[order]
+    deg = np.bincount(ids_s, minlength=n_out)
+    rowptr = np.concatenate([[0], np.cumsum(deg)])
+    present = np.nonzero(deg)[0]
+    nbr_mats, w_mats = [], []
+    inv = np.full(n_out, -1, np.int64)
+    row_base = 0
+    if present.size:
+        caps = np.maximum(
+            min_cap, 1 << np.ceil(np.log2(deg[present])).astype(np.int64)
+        )
+        for cap in np.unique(caps):
+            sel = present[caps == cap]
+            base = rowptr[sel]
+            pos = base[:, None] + np.arange(cap)[None, :]
+            valid = np.arange(cap)[None, :] < deg[sel][:, None]
+            posc = np.minimum(pos, max(ids_s.shape[0] - 1, 0))
+            nbr_mats.append(
+                np.where(valid, nbrs_s[posc], 0).astype(np.int32)
+            )
+            w_mats.append(np.where(valid, w_s[posc], 0.0).astype(np.float32))
+            inv[sel] = row_base + np.arange(sel.shape[0])
+            row_base += sel.shape[0]
+    inv[inv < 0] = row_base  # the appended zeros row
+    return BucketedSide(
+        tuple(jnp.asarray(m) for m in nbr_mats),
+        tuple(jnp.asarray(m) for m in w_mats),
+        jnp.asarray(inv.astype(np.int32)),
+    )
+
+
+def build_bucketed_incidence(
+    edge_users, edge_items, edge_norm, n_users: int, n_items: int,
+    min_cap: int = 4,
+) -> BucketedIncidence:
+    """Host-side (numpy) one-time build of both aggregation directions.
+    Padding overhead is bounded by max(min_cap * nodes, 2E) entries per
+    side (power-of-two caps)."""
+    return BucketedIncidence(
+        users=_bucketize_side(edge_users, edge_items, edge_norm, n_users, min_cap),
+        items=_bucketize_side(edge_items, edge_users, edge_norm, n_items, min_cap),
+    )
+
+
+def _bucketed_aggregate(side: BucketedSide, x: jnp.ndarray) -> jnp.ndarray:
+    # NOTE: a bf16-gather flavor (cast x to bfloat16 before the gather to
+    # halve HBM read traffic) was measured SLOWER on chip (8.2k vs 10.7k
+    # examples/s at E=2M) — the dtype casts break the gather->reduce fusion
+    # — so the aggregation stays at the input dtype.
+    parts = [
+        jnp.sum(x[nb] * w[:, :, None].astype(x.dtype), axis=1)
+        for nb, w in zip(side.nbr, side.w)
+    ]
+    parts.append(jnp.zeros((1, x.shape[1]), x.dtype))
+    return jnp.concatenate(parts, axis=0)[side.inv]
+
+
+def make_bucketed_propagator(binc: BucketedIncidence):
+    """One bipartite propagation layer over the bucketed layout, custom VJP.
+
+    Same self-adjoint structure as ``make_coo_propagator``: the joint
+    operator [[0, A_hat], [A_hat^T, 0]] is symmetric, so the backward is the
+    pair itself applied to the cotangents. With the bucketed forward this
+    makes BOTH passes scatter-free — autodiff of the gathers would
+    otherwise transpose them into exactly the unsorted scatter-adds this
+    layout eliminates."""
+
+    def _pair(x_u, x_i):
+        return (
+            _bucketed_aggregate(binc.users, x_i),
+            _bucketed_aggregate(binc.items, x_u),
+        )
+
+    @jax.custom_vjp
+    def pair(x_u, x_i):
+        return _pair(x_u, x_i)
+
+    def fwd(x_u, x_i):
+        return _pair(x_u, x_i), None
+
+    def bwd(_, cot):
+        return _pair(*cot)
+
+    pair.defvjp(fwd, bwd)
+    return pair
+
+
+def lightgcn_propagate_bucketed(
+    user_emb: jnp.ndarray,
+    item_emb: jnp.ndarray,
+    binc: BucketedIncidence,
+    n_layers: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``lightgcn_propagate_coo`` on the scatter-free bucketed layout — same
+    math up to float summation order."""
+    pair = make_bucketed_propagator(binc)
     eu, ei = user_emb, item_emb
     acc_u, acc_i = eu, ei
     for _ in range(n_layers):

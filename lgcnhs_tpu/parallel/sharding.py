@@ -479,34 +479,80 @@ def shard_coo_edges(plan: ShardingPlan, edge_users, edge_items, edge_norm):
 
 def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
                            n_layers: int):
-    """shard_map'd LightGCN propagation over edge blocks: per-layer partial
+    """Edge-sharded LightGCN propagation: per-shard SORTED partial
     segment-sums + psum over the flattened mesh — numerically the same sum
-    as ``ops.propagation.lightgcn_propagate_coo`` up to float reassociation."""
+    as ``ops.propagation.lightgcn_propagate_coo`` up to float reassociation.
 
-    def body(ue, ie, e_u, e_i, norm):
+    Each shard sorts its edge block by user and by item once per call
+    (``ops.propagation.EdgeOrdering`` locally), so every scatter is a
+    sorted segment sum; and the layer pair carries the self-adjoint custom
+    VJP (the joint operator [[0, A],[A^T, 0]] is symmetric, so the backward
+    is the pair applied to the cotangents) — autodiff through the shard_map
+    would instead transpose the gathers into unsorted full-edge-block
+    scatter-adds, the slowest primitive on TPU for this workload."""
+
+    def _local_sort(eu, ei, w):
+        from lgcnhs_tpu.ops.propagation import build_edge_ordering
+
+        return tuple(build_edge_ordering(eu, ei, w))
+
+    sort_edges = shard_map(
+        _local_sort,
+        mesh=plan.mesh,
+        in_specs=(P(EDGE_AXES),) * 3,
+        out_specs=(P(EDGE_AXES),) * 6,
+        check_vma=False,
+    )
+
+    def _local_pair(x_u, x_i, eu_u, ei_u, w_u, eu_i, ei_i, w_i):
+        msg_u = jax.ops.segment_sum(
+            x_i[ei_u] * w_u[:, None], eu_u,
+            num_segments=n_users, indices_are_sorted=True,
+        )
+        msg_i = jax.ops.segment_sum(
+            x_u[eu_i] * w_i[:, None], ei_i,
+            num_segments=n_items, indices_are_sorted=True,
+        )
+        return jax.lax.psum(msg_u, EDGE_AXES), jax.lax.psum(msg_i, EDGE_AXES)
+
+    sm_pair = shard_map(
+        _local_pair,
+        mesh=plan.mesh,
+        in_specs=(P(), P()) + (P(EDGE_AXES),) * 6,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.custom_vjp
+    def pair(x_u, x_i, se):
+        return sm_pair(x_u, x_i, *se)
+
+    def _fwd(x_u, x_i, se):
+        return sm_pair(x_u, x_i, *se), se
+
+    def _bwd(se, cot):
+        du, di = sm_pair(cot[0], cot[1], *se)
+        zeros = tuple(
+            jnp.zeros_like(a) if jnp.issubdtype(a.dtype, jnp.floating)
+            else np.zeros(a.shape, jax.dtypes.float0)
+            for a in se
+        )
+        return du, di, zeros
+
+    pair.defvjp(_fwd, _bwd)
+
+    def propagate(ue, ie, e_u, e_i, norm):
+        se = sort_edges(e_u, e_i, norm)
         eu, ei = ue, ie
         acc_u, acc_i = eu, ei
         for _ in range(n_layers):
-            msg_u = jax.ops.segment_sum(
-                ei[e_i] * norm[:, None], e_u, num_segments=n_users
-            )
-            msg_i = jax.ops.segment_sum(
-                eu[e_u] * norm[:, None], e_i, num_segments=n_items
-            )
-            eu = jax.lax.psum(msg_u, EDGE_AXES)
-            ei = jax.lax.psum(msg_i, EDGE_AXES)
+            eu, ei = pair(eu, ei, se)
             acc_u = acc_u + eu
             acc_i = acc_i + ei
         scale = 1.0 / (n_layers + 1)
         return acc_u * scale, acc_i * scale
 
-    return shard_map(
-        body,
-        mesh=plan.mesh,
-        in_specs=(P(), P(), P(EDGE_AXES), P(EDGE_AXES), P(EDGE_AXES)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
+    return propagate
 
 
 def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,

@@ -79,6 +79,49 @@ def test_sorted_coo_matches_unsorted_forward_and_grad():
     np.testing.assert_allclose(np.asarray(gi1), np.asarray(gi0), rtol=1e-4, atol=1e-5)
 
 
+def test_bucketed_matches_unsorted_forward_and_grad():
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.ops.propagation import (
+        build_bucketed_incidence,
+        lightgcn_propagate_bucketed,
+    )
+
+    eu, ei, user_emb, item_emb = _setup()
+    # zero-degree nodes on both sides exercise the appended zeros row
+    mask = (eu != U - 1) & (ei != I - 1)
+    eu, ei = eu[mask], ei[mask]
+    norm = edge_gcn_norm(eu, ei, U, I)
+    binc = build_bucketed_incidence(eu, ei, np.asarray(norm), U, I)
+
+    cu, ci = lightgcn_propagate_coo(user_emb, item_emb, eu, ei, norm, U, I, K)
+    bu, bi = lightgcn_propagate_bucketed(
+        jnp.asarray(user_emb), jnp.asarray(item_emb), binc, K
+    )
+    np.testing.assert_allclose(np.asarray(bu), np.asarray(cu), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bi), np.asarray(ci), rtol=1e-5, atol=1e-6)
+
+    def loss_unsorted(ue, ie):
+        u, i = lightgcn_propagate_coo(ue, ie, eu, ei, norm, U, I, K)
+        return jnp.sum(u * u) + jnp.sum(jnp.sin(i))
+
+    def loss_bucketed(ue, ie):
+        u, i = lightgcn_propagate_bucketed(ue, ie, binc, K)
+        return jnp.sum(u * u) + jnp.sum(jnp.sin(i))
+
+    g0 = jax.grad(loss_unsorted, argnums=(0, 1))(
+        jnp.asarray(user_emb), jnp.asarray(item_emb)
+    )
+    g1 = jax.grad(loss_bucketed, argnums=(0, 1))(
+        jnp.asarray(user_emb), jnp.asarray(item_emb)
+    )
+    for want, got in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_zero_degree_nodes_stay_finite():
     eu, ei, user_emb, item_emb = _setup()
     # add an isolated user/item by construction: none reference idx U-1 / I-1

@@ -329,10 +329,13 @@ class TestShardedCooTraining:
         params0 = init_lightgcn(jax.random.PRNGKey(0), U, I, D)
         key = jax.random.PRNGKey(9)
 
+        from lgcnhs_tpu.ops.propagation import build_bucketed_incidence
+
+        binc = build_bucketed_incidence(eu, ei, np.asarray(edge_norm), U, I)
         step0 = make_coo_train_step(optimizer, hp, U, I)
         p_ref, _, loss_ref = step0(
             params0, optimizer.init(params0), key,
-            edge_users, edge_items, edge_norm, rowptr, cols,
+            binc, edge_users, edge_items, rowptr, cols,
         )
 
         mesh = make_mesh((2, 4))
