@@ -86,6 +86,65 @@ def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
     return hp.batch_size * steps / (time.perf_counter() - t0)
 
 
+def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
+    """Edge-sharded COO trainer flavor of ``measure_mesh`` — the large-graph
+    regime (SURVEY.md section 2.9): edges sharded over the mesh, per-shard
+    sorted partial segment-sums + psum, replicated tables."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lgcnhs_tpu.data.graph import EdgeSet
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.ops.propagation import edge_gcn_norm
+    from lgcnhs_tpu.ops.scalable import user_csr
+    from lgcnhs_tpu.parallel.sharding import (
+        make_plan,
+        make_sharded_coo_train_scan,
+        shard_coo_edges,
+    )
+    from lgcnhs_tpu.runtime.mesh import make_mesh
+    from lgcnhs_tpu.train.trainer import lr_schedule
+
+    mesh = make_mesh((1, n_model))
+    plan = make_plan(mesh)
+    U, I = graph.n_users, graph.n_items
+    eu_np = np.asarray(graph.train.users)
+    ei_np = np.asarray(graph.train.items)
+    edge_users, edge_items = jnp.asarray(eu_np), jnp.asarray(ei_np)
+    edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+    rowptr_np, cols_np = user_csr(U, EdgeSet(eu_np, ei_np))
+    rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
+    eu_s, ei_s, norm_s = shard_coo_edges(plan, eu_np, ei_np, edge_norm)
+
+    params = jax.device_put(
+        init_lightgcn(jax.random.PRNGKey(0), U, I, hp.embedding_dim),
+        plan.replicated,
+    )
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+    opt_state = optimizer.init(params)
+    scan = make_sharded_coo_train_scan(plan, optimizer, hp, U, I)
+    base_key = jax.random.PRNGKey(3)
+
+    chunk = max(1, chunk)
+    params, opt_state, loss = scan(
+        params, opt_state, base_key, jnp.int32(0), chunk,
+        edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s,
+    )
+    loss.block_until_ready()
+    n_chunks = -(-steps // chunk)
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        params, opt_state, loss = scan(
+            params, opt_state, base_key, jnp.int32((c + 1) * chunk), chunk,
+            edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s,
+        )
+    loss.block_until_ready()
+    return hp.batch_size * n_chunks * chunk / (time.perf_counter() - t0)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--users", type=int, default=943)
@@ -96,6 +155,8 @@ def main(argv=None):
     parser.add_argument("--chunk", type=int, default=1,
                         help="epochs per device program (lax.scan); 1 = per-step dispatch")
     parser.add_argument("--meshes", type=int, nargs="+", default=None)
+    parser.add_argument("--coo", action="store_true",
+                        help="measure the edge-sharded COO (large-graph) trainer")
     args = parser.parse_args(argv)
 
     import jax
@@ -121,8 +182,9 @@ def main(argv=None):
 
     rows = []
     base_rate = None
+    measure = measure_mesh_coo if args.coo else measure_mesh
     for m in meshes:
-        rate = measure_mesh(m, graph, hp, args.steps, chunk=args.chunk)
+        rate = measure(m, graph, hp, args.steps, chunk=args.chunk)
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * m)

@@ -19,6 +19,16 @@ def test_scaling_ladder_runs():
     assert rows[0]["efficiency"] == 1.0
 
 
+def test_scaling_ladder_coo_runs():
+    rows = scaling_cli.main(
+        ["--users", "80", "--items", "120", "--interactions", "3000",
+         "--steps", "3", "--batch-size", "64", "--meshes", "1", "2",
+         "--coo", "--chunk", "3"]
+    )
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert all(r["examples_per_sec"] > 0 for r in rows)
+
+
 def test_ablation_chart(tmp_path):
     small = [
         "--dataset", "synthetic", "--env", "dev", "--workdir", str(tmp_path),
