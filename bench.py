@@ -300,6 +300,46 @@ def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
     return U * reps / (time.perf_counter() - t0)
 
 
+def bench_diffusion_tall(reps: int = 5) -> tuple:
+    """(factored_s, blocked_s) for full-catalog diffusion scoring at a TALL
+    catalog (U=2,000 x I=50,000): the (I, I) transfer matrix would be 10 GB,
+    so the dense reference-order path cannot run at all. choose_diffusion
+    picks "factored" here (2U < I): F = (A D1 An^T)(A D2) — 2 U^2 I FLOPs,
+    no I x I intermediate; "blocked" streams W in (I, B) column blocks at
+    U I^2 FLOPs. Both are exact (ops/diffusion.py; equality pinned in
+    tests/test_diffusion_scale.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.ops.diffusion import (
+        blocked_diffusion_scores,
+        choose_diffusion,
+        user_factored_diffusion_scores,
+    )
+
+    U, I, E = 2_000, 50_000, 1_500_000
+    assert choose_diffusion(U, I) == "factored"
+    rng = np.random.default_rng(17)
+    A = np.zeros((U, I), np.float32)
+    A[rng.integers(0, U, E), rng.integers(0, I, E)] = 1.0
+    Aj = jnp.asarray(A)
+    lam = jnp.float32(0.6)
+
+    user_factored_diffusion_scores(Aj, lam).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        F = user_factored_diffusion_scores(Aj, lam)
+    F.block_until_ready()
+    fact_s = (time.perf_counter() - t0) / reps
+
+    blocked_diffusion_scores(Aj, lam, block=500).block_until_ready()
+    t0 = time.perf_counter()
+    F = blocked_diffusion_scores(Aj, lam, block=500)
+    F.block_until_ready()
+    blk_s = time.perf_counter() - t0
+    return fact_s, blk_s
+
+
 # Loader for the reference's own modules (shared with cli/parity_report.py).
 from lgcnhs_tpu.eval.reference_runner import ReferenceModules
 
@@ -410,10 +450,18 @@ def bench_lambda_sweep() -> tuple:
         jnp.asarray(ctx.eval_present), S,
     )
     lambda_sweep_metrics(lambdas, *sweep_args, K).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    out = lambda_sweep_metrics(lambdas, *sweep_args, K)
-    out.block_until_ready()
-    ours_s = time.perf_counter() - t0
+    # Time through an actual device_get: on the tunneled TPU,
+    # block_until_ready was once observed returning immediately (a 0.000 s
+    # "measurement" in an otherwise healthy process); fetching the (101, 5)
+    # result forces a real round-trip and is what the findLambda driver does
+    # with it anyway. Min of 3 reps.
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = lambda_sweep_metrics(lambdas, *sweep_args, K)
+        np.asarray(jax.device_get(out))
+        ts.append(time.perf_counter() - t0)
+    ours_s = min(ts)
 
     ref_root = Path("/root/reference")
     if not ref_root.exists():
@@ -498,6 +546,14 @@ def main() -> None:
     coo_rate = bench_train_coo(tpu_devices, hp, TPU_STEPS if on_tpu else 5)
     log(f"train COO/bucketed (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
     extra["train_coo_50kx30k_eps"] = round(coo_rate, 1)
+
+    fact_s, blk_s = bench_diffusion_tall()
+    log(
+        f"tall-catalog diffusion (2k x 50k, no (I,I) possible): "
+        f"factored {fact_s:.3f}s vs blocked {blk_s:.3f}s ({blk_s / fact_s:.1f}x)"
+    )
+    extra["diffusion_tall_factored_s"] = round(fact_s, 4)
+    extra["diffusion_tall_blocked_s"] = round(blk_s, 4)
 
     qps = bench_retrieval(graph)
     log(f"retrieval: {qps:,.0f} users/s")
