@@ -59,6 +59,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "(reference handleData.py:39-57; e.g. '--quantile 1 0' disables "
         "filtering, douban's preset is 0.991 0.99)",
     )
+    p.add_argument(
+        "--scan-chunk",
+        type=int,
+        default=None,
+        metavar="N",
+        help="max epochs per device program (bounds single-execution "
+        "wall-clock on relayed TPUs; chunking never changes the model — "
+        "the per-epoch fold_in key stream is dispatch-invariant)",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -125,6 +134,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["synthetic_items"] = args.items
     if args.interactions is not None:
         overrides["synthetic_interactions"] = args.interactions
+    if getattr(args, "scan_chunk", None) is not None:
+        overrides["compute.scan_chunk"] = args.scan_chunk
     if getattr(args, "quantile", None) is not None:
         overrides["preprocessing.quantile_start"] = args.quantile[0]
         overrides["preprocessing.quantile_end"] = args.quantile[1]

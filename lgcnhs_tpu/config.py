@@ -96,6 +96,13 @@ class ComputeConfig:
     # segment-sum path is used, above it the dense MXU path.
     dense_threshold: float = 0.001
     donate_state: bool = True
+    # Max epochs per device program (lax.scan dispatch). 0 = unbounded (one
+    # scan per eval/checkpoint interval). Bound it when a single on-device
+    # execution must stay short — e.g. relayed/tunneled TPUs kill executions
+    # running longer than ~a minute, which a 200-epoch large-graph scan can
+    # exceed. The fold_in(key, epoch) stream makes chunking invisible to
+    # training: any chunking produces the identical model.
+    scan_chunk: int = 0
 
 
 @dataclass(frozen=True)

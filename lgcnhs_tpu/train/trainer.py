@@ -690,9 +690,18 @@ def train_lightgcn(
                 b += 1
             n_chunk = b - epoch + 1
             if train_scan is not None and n_chunk > 1:
-                params, opt_state, loss = train_scan(
-                    params, opt_state, key, epoch, n_chunk, *step_args()
-                )
+                # compute.scan_chunk bounds a single device program's length
+                # (relayed TPUs kill minute-long executions); sub-chunking is
+                # invisible to training — the per-epoch fold_in key stream
+                # makes any chunking produce the identical model
+                sub = cfg.compute.scan_chunk or n_chunk
+                e0 = epoch
+                while e0 < b + 1:
+                    n_sub = min(sub, b + 1 - e0)
+                    params, opt_state, loss = train_scan(
+                        params, opt_state, key, e0, n_sub, *step_args()
+                    )
+                    e0 += n_sub
             else:
                 for e in range(epoch, b + 1):
                     # per-epoch keys derived by fold_in: stateless, so

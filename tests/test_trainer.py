@@ -83,6 +83,32 @@ def test_checkpoint_roundtrip(tmp_path, small_graph):
     assert load_checkpoint(str(tmp_path / "missing.npz")) is None
 
 
+def test_scan_chunk_is_invisible_to_training(small_graph):
+    """compute.scan_chunk bounds the device-program length (relayed TPUs
+    kill long executions); the fold_in-per-epoch key stream must make any
+    chunking produce the identical model."""
+    graph, cfg = small_graph
+    cfg = cfg.replace(
+        hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epochs": 24, "epoch_per_eval": 12,
+               "batch_size": 64}
+        )
+    )
+    res_full = train_lightgcn(graph, cfg, save_artifacts=False)
+    cfg_chunked = cfg.replace(
+        compute=cfg.compute.__class__(
+            **{**cfg.compute.__dict__, "scan_chunk": 5}
+        )
+    )
+    res_chunked = train_lightgcn(graph, cfg_chunked, save_artifacts=False)
+    np.testing.assert_array_equal(
+        np.asarray(res_full.params.user_emb),
+        np.asarray(res_chunked.params.user_emb),
+    )
+    assert res_full.history["train_loss"] == res_chunked.history["train_loss"]
+    assert res_full.history["val_loss"] == res_chunked.history["val_loss"]
+
+
 def test_train_scan_matches_per_step_path(small_graph):
     """make_train_scan's fold_in-per-epoch stream must reproduce the
     per-dispatch make_train_step sequence bit-for-bit."""
