@@ -694,7 +694,7 @@ def train_lightgcn(
                 # (relayed TPUs kill minute-long executions); sub-chunking is
                 # invisible to training — the per-epoch fold_in key stream
                 # makes any chunking produce the identical model
-                sub = cfg.compute.scan_chunk or n_chunk
+                sub = max(0, cfg.compute.scan_chunk) or n_chunk
                 e0 = epoch
                 while e0 < b + 1:
                     n_sub = min(sub, b + 1 - e0)
