@@ -23,10 +23,11 @@ from lgcnhs_tpu.data.graph import interaction_matrix, pos_bool_matrix
 from lgcnhs_tpu.eval.metrics import EvalContext
 from lgcnhs_tpu.models.fusion import allocate_matrix
 from lgcnhs_tpu.models.recommenders import get_or_train_params
-from lgcnhs_tpu.ops.diffusion import general_spreading_matrix
+from lgcnhs_tpu.ops.diffusion import choose_diffusion, general_spreading_matrix
 from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
 from lgcnhs_tpu.ops.sweep import (
     lambda_sweep_metrics,
+    lambda_sweep_metrics_tall,
     sharded_lambda_sweep,
     sweep_rows,
 )
@@ -46,7 +47,7 @@ def main(argv=None) -> pd.DataFrame:
         graph.n_users, graph.n_items, graph.test, graph.train, graph.val
     )
 
-    # G once (findLambda.py:79), W_gen once (findLambda.py:81)
+    # G once (findLambda.py:79)
     params = get_or_train_params(graph, cfg, user_features, item_features)
     A = jnp.asarray(
         interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
@@ -55,24 +56,41 @@ def main(argv=None) -> pd.DataFrame:
         pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
     )
     G = allocate_matrix(params, seen)
-    W_gen = general_spreading_matrix(A)
-    S = similarity_matrix(jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg))
-
     lambdas = np.arange(0.0, 1.0 + args.step, args.step, dtype=np.float32)
-    sweep_args = (
-        G, A, W_gen, seen,
-        jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
-        jnp.asarray(ctx.eval_present), S,
-    )
     mesh = mesh_from_config(cfg.compute)
-    if mesh is not None:
+
+    if mesh is None and choose_diffusion(
+        graph.n_users, graph.n_items, np.dtype(A.dtype).itemsize
+    ) != "dense":
+        # tall catalog, single chip: neither (I, I) operand (W_gen, S) can
+        # exist — the W-free / S-free sweep flavor (ops/sweep.py)
         log.info(
-            "lambda sweep sharded over %d devices (mesh %s flattened)",
-            mesh.devices.size, dict(mesh.shape),
+            "lambda sweep: tall-catalog flavor (no (I, I) operand; "
+            "user-factored diffusion + direct Sorensen)"
         )
-        metrics = sharded_lambda_sweep(mesh, lambdas, *sweep_args, k=cfg.k)
+        metrics = lambda_sweep_metrics_tall(
+            jnp.asarray(lambdas), G, A, seen,
+            jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
+            jnp.asarray(ctx.eval_present), jnp.asarray(ctx.interaction),
+            jnp.asarray(ctx.item_deg), cfg.k,
+        )
     else:
-        metrics = lambda_sweep_metrics(jnp.asarray(lambdas), *sweep_args, cfg.k)
+        # W_gen once (findLambda.py:81)
+        W_gen = general_spreading_matrix(A)
+        S = similarity_matrix(jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg))
+        sweep_args = (
+            G, A, W_gen, seen,
+            jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
+            jnp.asarray(ctx.eval_present), S,
+        )
+        if mesh is not None:
+            log.info(
+                "lambda sweep sharded over %d devices (mesh %s flattened)",
+                mesh.devices.size, dict(mesh.shape),
+            )
+            metrics = sharded_lambda_sweep(mesh, lambdas, *sweep_args, k=cfg.k)
+        else:
+            metrics = lambda_sweep_metrics(jnp.asarray(lambdas), *sweep_args, cfg.k)
 
     rows = sweep_rows(lambdas, np.asarray(metrics))
     for row in rows:

@@ -182,12 +182,16 @@ def choose_diffusion(
     n_users: int,
     n_items: int,
     itemsize: int = 4,
-    budget_bytes: int = DENSE_TRANSFER_BUDGET_BYTES,
+    budget_bytes: int | None = None,
 ) -> str:
     """Dispatch rule for ``diffusion_scores_auto``: "dense" while the (I, I)
     transfer matrix fits the budget (bit-identical to the reference's
     operation order — the parity path), else "factored" when 2U < I (fewer
-    FLOPs and no I^2 anywhere), else "blocked" (streams W in item blocks)."""
+    FLOPs and no I^2 anywhere), else "blocked" (streams W in item blocks).
+    ``budget_bytes=None`` reads ``DENSE_TRANSFER_BUDGET_BYTES`` at call
+    time."""
+    if budget_bytes is None:
+        budget_bytes = DENSE_TRANSFER_BUDGET_BYTES
     if n_items * n_items * itemsize <= budget_bytes:
         return "dense"
     return "factored" if 2 * n_users < n_items else "blocked"
@@ -201,8 +205,7 @@ def diffusion_scores_auto(
     (``user_factored_diffusion_scores`` / ``blocked_diffusion_scores``) once
     the catalog outgrows a materialized (I, I) transfer matrix."""
     choice = choose_diffusion(
-        A.shape[0], A.shape[1], jnp.asarray(A).dtype.itemsize,
-        budget_bytes=DENSE_TRANSFER_BUDGET_BYTES,
+        A.shape[0], A.shape[1], jnp.asarray(A).dtype.itemsize
     )
     if choice == "dense":
         return diffusion_scores(A, lam, transpose_w=transpose_w)

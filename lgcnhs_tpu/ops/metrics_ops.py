@@ -157,6 +157,43 @@ def internal_similarity(
     return (quad - diag_term) / (float(U) * k * (k - 1))
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def internal_similarity_direct(
+    rec: jnp.ndarray,  # (U, k)
+    interaction: jnp.ndarray,  # (U_i, I) float 0/1 train+val matrix
+    item_deg: jnp.ndarray,  # (I,)
+    chunk: int = 128,
+) -> jnp.ndarray:
+    """I@k with NO (I, I) similarity matrix: for each user's list, gather the
+    k interaction columns and form the (k, k) co-occurrence block directly
+    (``cooc(i,j) = B[:,i].B[:,j]``, ``metrics/diversity.py:96-107``), degree-
+    normalized and diagonal-subtracted. O(U^2 k^2 / chunk-batched) FLOPs and
+    O(U_i * chunk * k) peak memory — the tall-catalog flavor where
+    ``similarity_matrix``'s I^2 operand cannot exist. Zero-degree items carry
+    inv-sqrt 0, reproducing the reference's skipped pairs."""
+    U, k = rec.shape
+    U_pad = -(-U // chunk) * chunk
+    recp = jnp.pad(rec, ((0, U_pad - U), (0, 0)))
+    valid = (jnp.arange(U_pad) < U).astype(jnp.float32)
+    deg = item_deg.astype(jnp.float32)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+
+    def body(c):
+        rc = jax.lax.dynamic_slice_in_dim(recp, c * chunk, chunk, axis=0)
+        vc = jax.lax.dynamic_slice_in_dim(valid, c * chunk, chunk, axis=0)
+        sub = interaction[:, rc]  # (U_i, C, k)
+        cooc = jnp.einsum(
+            "uci,ucj->cij", sub, sub, precision=jax.lax.Precision.HIGHEST
+        )
+        inv = inv_sqrt[rc]  # (C, k)
+        pair = cooc * inv[:, :, None] * inv[:, None, :]
+        per_user = jnp.sum(pair, axis=(1, 2)) - jnp.trace(pair, axis1=1, axis2=2)
+        return jnp.sum(per_user * vc)
+
+    total = jnp.sum(jax.lax.map(body, jnp.arange(U_pad // chunk)))
+    return total / (float(U) * k * (k - 1))
+
+
 @jax.jit
 def novelty_avg_degree(rec: jnp.ndarray, item_deg: jnp.ndarray) -> jnp.ndarray:
     """Novelty = mean train degree of recommended items — the metric the

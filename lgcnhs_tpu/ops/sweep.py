@@ -96,6 +96,46 @@ def lambda_sweep_metrics(
     return jax.lax.map(body, lambdas)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def lambda_sweep_metrics_tall(
+    lambdas: jnp.ndarray,  # (L,)
+    G: jnp.ndarray,  # (U, I) allocation matrix
+    A: jnp.ndarray,  # (U, I) train+val interaction matrix
+    seen: jnp.ndarray,  # (U, I) bool
+    eval_pos: jnp.ndarray,  # (U, I) bool
+    eval_counts: jnp.ndarray,  # (U,)
+    eval_present: jnp.ndarray,  # (U,) bool
+    interaction: jnp.ndarray,  # (U, I) eval-context interaction matrix
+    item_deg: jnp.ndarray,  # (I,)
+    k: int,
+) -> jnp.ndarray:
+    """``lambda_sweep_metrics`` for TALL catalogs: identical rows, but with
+    NO (I, I) operand anywhere — neither the hoisted W_gen nor the Sorensen
+    similarity matrix exists at catalogs past ``choose_diffusion``'s budget.
+    Per grid point the resource matrix comes from the W-free user-factored
+    algebra (``ops/diffusion.user_factored_diffusion_scores``) and the
+    Sorensen metric from the direct (U, k, k) co-occurrence kernel
+    (``metrics_ops.internal_similarity_direct``). Row equality with the
+    dense sweep is pinned in tests/test_sweep.py."""
+    from lgcnhs_tpu.ops.diffusion import user_factored_diffusion_scores
+
+    n_items = A.shape[1]
+
+    def body(lam):
+        F = user_factored_diffusion_scores(A, lam)
+        rec = rank_exclude_seen_topk(G * F, seen, k, filter_seen=True)
+        hits = metrics_ops.hit_matrix(rec, eval_pos)
+        p, r = metrics_ops.precision_recall_from_hits(
+            hits, eval_counts, eval_present
+        )
+        n = metrics_ops.ndcg_from_hits(hits, eval_present)
+        h = metrics_ops.hamming_distance(rec, n_items)
+        i = metrics_ops.internal_similarity_direct(rec, interaction, item_deg)
+        return jnp.stack([p, r, n, h, i])
+
+    return jax.lax.map(body, lambdas)
+
+
 # Per-device bytes the grid-parallel sweep may spend on replicated operands
 # before falling back to the item-sharded sweep. The replicated set is two
 # (I, I) operators (W_gen, S) plus five (U, I)-class arrays (G, A, seen,

@@ -69,6 +69,60 @@ def test_internal_similarity_from_matrix_matches_bilinear(setup):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
 
 
+def test_tall_sweep_matches_dense_sweep(setup):
+    """The W-free/S-free tall-catalog flavor must produce the same rows as
+    the dense sweep (to float tolerance: factored diffusion and the direct
+    Sorensen kernel reassociate sums)."""
+    from lgcnhs_tpu.ops.sweep import lambda_sweep_metrics_tall
+
+    cfg, graph, ctx, args = setup
+    G, A, W_gen, seen, eval_pos, eval_counts, eval_present, S = args
+    lambdas = jnp.asarray(np.linspace(0.0, 1.0, 7, dtype=np.float32))
+    dense = np.asarray(lambda_sweep_metrics(lambdas, *args, cfg.k))
+    tall = np.asarray(
+        lambda_sweep_metrics_tall(
+            lambdas, G, A, seen, eval_pos, eval_counts, eval_present,
+            jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg), cfg.k,
+        )
+    )
+    np.testing.assert_allclose(tall, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_internal_similarity_direct_matches_matrix(setup):
+    cfg, graph, ctx, args = setup
+    rng = np.random.default_rng(5)
+    rec = np.stack(
+        [rng.choice(graph.n_items, size=6, replace=False)
+         for _ in range(graph.n_users)]
+    ).astype(np.int32)
+    S = args[-1]
+    want = float(metrics_ops.internal_similarity_from_matrix(jnp.asarray(rec), S))
+    got = float(
+        metrics_ops.internal_similarity_direct(
+            jnp.asarray(rec), jnp.asarray(ctx.interaction),
+            jnp.asarray(ctx.item_deg), chunk=16,
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-5, abs=1e-7)
+
+
+def test_find_lambda_cli_tall_dispatch(tmp_path, monkeypatch):
+    """find_lambda takes the tall-catalog branch when (I, I) is over budget
+    on a single chip, and still writes the same CSV schema."""
+    import lgcnhs_tpu.ops.diffusion as diff
+    from lgcnhs_tpu.cli import find_lambda as fl
+
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 1)
+    df = fl.main(
+        ["--dataset", "synthetic", "--env", "dev", "--workdir", str(tmp_path),
+         "--users", "30", "--items", "70", "--interactions", "900",
+         "--epochs", "4", "--step", "0.5", "--k", "5"]
+    )
+    assert list(df.columns) == ["lambda", "P", "R", "F1", "NDCG", "H", "I"]
+    assert len(df) == 3
+    assert np.isfinite(df[["P", "R", "NDCG", "H", "I"]].to_numpy()).all()
+
+
 def test_device_sweep_matches_per_lambda_host_path(setup):
     """One lax.map program == the per-lambda jit + host evaluate path,
     for every metric, at every grid point."""
