@@ -59,9 +59,10 @@ def main(argv=None) -> pd.DataFrame:
     lambdas = np.arange(0.0, 1.0 + args.step, args.step, dtype=np.float32)
     mesh = mesh_from_config(cfg.compute)
 
-    if mesh is None and choose_diffusion(
+    regime = choose_diffusion(
         graph.n_users, graph.n_items, np.dtype(A.dtype).itemsize
-    ) != "dense":
+    )
+    if mesh is None and regime == "factored":
         # tall catalog, single chip: neither (I, I) operand (W_gen, S) can
         # exist — the W-free / S-free sweep flavor (ops/sweep.py)
         log.info(
@@ -71,8 +72,16 @@ def main(argv=None) -> pd.DataFrame:
         metrics = lambda_sweep_metrics_tall(
             jnp.asarray(lambdas), G, A, seen,
             jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
-            jnp.asarray(ctx.eval_present), jnp.asarray(ctx.interaction),
-            jnp.asarray(ctx.item_deg), cfg.k,
+            jnp.asarray(ctx.eval_present), jnp.asarray(ctx.item_deg), cfg.k,
+        )
+    elif mesh is None and regime == "blocked":
+        # wide AND tall: the (U, U) factored intermediate is as impossible
+        # as the (I, I) one; this regime needs the item-sharded mesh layout
+        raise SystemExit(
+            f"lambda sweep at U={graph.n_users} x I={graph.n_items} exceeds "
+            "a single device in every layout (both (I, I) and (U, U) "
+            "intermediates are over budget) — run with --mesh to use the "
+            "item-sharded sweep"
         )
     else:
         # W_gen once (findLambda.py:81)

@@ -33,6 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from lgcnhs_tpu.ops import metrics_ops
+from lgcnhs_tpu.ops.diffusion import user_factored_diffusion_scores
 from lgcnhs_tpu.ops.topk import rank_exclude_seen_topk
 
 SWEEP_AXIS = "sweep"
@@ -52,13 +53,17 @@ def _blended_transfer(W_gen, k_item, lam):
     return W_gen / jnp.where(denom == 0, 1.0, denom)
 
 
-def _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items):
-    """All five raw (unrounded) reference metrics for one (U, k) rec array."""
+def _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items,
+                     intra_sim=None):
+    """All five raw (unrounded) reference metrics for one (U, k) rec array.
+    ``intra_sim`` overrides the Sorensen term (the tall flavor has no S
+    matrix); default is the S-gather kernel."""
     hits = metrics_ops.hit_matrix(rec, eval_pos)
     p, r = metrics_ops.precision_recall_from_hits(hits, eval_counts, eval_present)
     n = metrics_ops.ndcg_from_hits(hits, eval_present)
     h = metrics_ops.hamming_distance(rec, n_items)
-    i = metrics_ops.internal_similarity_from_matrix(rec, S)
+    i = (metrics_ops.internal_similarity_from_matrix(rec, S)
+         if intra_sim is None else intra_sim(rec))
     return jnp.stack([p, r, n, h, i])
 
 
@@ -105,33 +110,30 @@ def lambda_sweep_metrics_tall(
     eval_pos: jnp.ndarray,  # (U, I) bool
     eval_counts: jnp.ndarray,  # (U,)
     eval_present: jnp.ndarray,  # (U,) bool
-    interaction: jnp.ndarray,  # (U, I) eval-context interaction matrix
     item_deg: jnp.ndarray,  # (I,)
     k: int,
 ) -> jnp.ndarray:
-    """``lambda_sweep_metrics`` for TALL catalogs: identical rows, but with
-    NO (I, I) operand anywhere — neither the hoisted W_gen nor the Sorensen
-    similarity matrix exists at catalogs past ``choose_diffusion``'s budget.
-    Per grid point the resource matrix comes from the W-free user-factored
-    algebra (``ops/diffusion.user_factored_diffusion_scores``) and the
-    Sorensen metric from the direct (U, k, k) co-occurrence kernel
-    (``metrics_ops.internal_similarity_direct``). Row equality with the
-    dense sweep is pinned in tests/test_sweep.py."""
-    from lgcnhs_tpu.ops.diffusion import user_factored_diffusion_scores
-
+    """``lambda_sweep_metrics`` for TALL catalogs (2U < I): identical rows,
+    but with NO (I, I) operand anywhere — neither the hoisted W_gen nor the
+    Sorensen similarity matrix exists at catalogs past ``choose_diffusion``'s
+    budget. Per grid point the resource matrix comes from the W-free
+    user-factored algebra (``ops/diffusion.user_factored_diffusion_scores``)
+    and the Sorensen metric from the direct (U, k, k) co-occurrence kernel
+    (``metrics_ops.internal_similarity_direct``) over A itself — the
+    reference's diversity metrics consume the same train+val interaction
+    matrix the diffusion does (``findLambda.py:74,106-114``). Row equality
+    with the dense sweep is pinned in tests/test_sweep.py."""
     n_items = A.shape[1]
 
     def body(lam):
         F = user_factored_diffusion_scores(A, lam)
         rec = rank_exclude_seen_topk(G * F, seen, k, filter_seen=True)
-        hits = metrics_ops.hit_matrix(rec, eval_pos)
-        p, r = metrics_ops.precision_recall_from_hits(
-            hits, eval_counts, eval_present
+        return _metrics_for_rec(
+            rec, eval_pos, eval_counts, eval_present, None, n_items,
+            intra_sim=lambda r: metrics_ops.internal_similarity_direct(
+                r, A, item_deg
+            ),
         )
-        n = metrics_ops.ndcg_from_hits(hits, eval_present)
-        h = metrics_ops.hamming_distance(rec, n_items)
-        i = metrics_ops.internal_similarity_direct(rec, interaction, item_deg)
-        return jnp.stack([p, r, n, h, i])
 
     return jax.lax.map(body, lambdas)
 

@@ -82,7 +82,7 @@ def test_tall_sweep_matches_dense_sweep(setup):
     tall = np.asarray(
         lambda_sweep_metrics_tall(
             lambdas, G, A, seen, eval_pos, eval_counts, eval_present,
-            jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg), cfg.k,
+            jnp.asarray(ctx.item_deg), cfg.k,
         )
     )
     np.testing.assert_allclose(tall, dense, rtol=1e-4, atol=1e-5)
@@ -110,17 +110,43 @@ def test_find_lambda_cli_tall_dispatch(tmp_path, monkeypatch):
     """find_lambda takes the tall-catalog branch when (I, I) is over budget
     on a single chip, and still writes the same CSV schema."""
     import lgcnhs_tpu.ops.diffusion as diff
-    from lgcnhs_tpu.cli import find_lambda as fl
+    import lgcnhs_tpu.cli.find_lambda as fl
+    from lgcnhs_tpu.ops import sweep as sweep_mod
 
     monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 1)
+    calls = []
+    real = sweep_mod.lambda_sweep_metrics_tall
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fl, "lambda_sweep_metrics_tall", spy)
     df = fl.main(
         ["--dataset", "synthetic", "--env", "dev", "--workdir", str(tmp_path),
          "--users", "30", "--items", "70", "--interactions", "900",
          "--epochs", "4", "--step", "0.5", "--k", "5"]
     )
+    assert calls, "tall-catalog sweep branch did not run"
     assert list(df.columns) == ["lambda", "P", "R", "F1", "NDCG", "H", "I"]
     assert len(df) == 3
     assert np.isfinite(df[["P", "R", "NDCG", "H", "I"]].to_numpy()).all()
+
+
+def test_find_lambda_cli_blocked_regime_needs_mesh(tmp_path, monkeypatch):
+    """wide-AND-tall catalogs on one chip get a clear error pointing at
+    --mesh instead of an OOM mid-sweep."""
+    import lgcnhs_tpu.ops.diffusion as diff
+    import lgcnhs_tpu.cli.find_lambda as fl
+
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 1)
+    with pytest.raises(SystemExit, match="--mesh"):
+        fl.main(
+            ["--dataset", "synthetic", "--env", "dev",
+             "--workdir", str(tmp_path), "--users", "60", "--items", "70",
+             "--interactions", "900", "--epochs", "4", "--step", "0.5",
+             "--k", "5"]
+        )
 
 
 def test_device_sweep_matches_per_lambda_host_path(setup):
