@@ -21,6 +21,11 @@ Lambda points are embarrassingly parallel, so ``sharded_lambda_sweep``
 splits the grid over EVERY device of a mesh (``shard_map`` over the
 flattened device array as one "sweep" axis — for a grid sweep the best use
 of the chips is one grid point per chip, not sharding each point's matmuls).
+
+Layout ladder: ``lambda_sweep_metrics`` (dense, hoisted W_gen + S) ->
+``lambda_sweep_metrics_tall`` (single chip, tall catalog: no (I, I) operand
+— W-free factored diffusion + direct Sorensen) ->
+``sharded_lambda_sweep``/``item_sharded_lambda_sweep`` (mesh).
 """
 from __future__ import annotations
 

@@ -67,6 +67,36 @@ def test_fused_recommend_matches_reference_chain(setup):
     assert agree > 0.97, f"only {agree:.3f} agreement"
 
 
+def test_fused_recommend_tall_dispatch_same_lists(setup, monkeypatch):
+    """fused_recommend's diffusion dispatch (diffusion_scores_auto) must
+    yield the same recommendation lists when the budget forces the W-free
+    factored regime (float reassociation cannot reorder at these gaps)."""
+    import lgcnhs_tpu.ops.diffusion as diff
+
+    from lgcnhs_tpu.models.lightgcn import LightGCNParams
+
+    cfg, graph, params = setup
+    A = jnp.asarray(
+        interaction_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    )
+    seen = jnp.asarray(
+        pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
+    )
+    # tall slice: 30 users x 70 items satisfies 2U < I
+    U = 30
+    params = LightGCNParams(params.user_emb[:U], params.item_emb)
+    A, seen = A[:U], seen[:U]
+    lam = jnp.float32(0.6)
+    dense = np.asarray(fused_recommend(params, A, seen, lam, k=5))
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 1)
+    assert diff.choose_diffusion(U, graph.n_items) == "factored"
+    # the dispatch happens at trace time — force a retrace
+    fused_recommend.clear_cache()
+    factored = np.asarray(fused_recommend(params, A, seen, lam, k=5))
+    fused_recommend.clear_cache()
+    np.testing.assert_array_equal(factored, dense)
+
+
 def test_lambda_extremes_change_ranking(setup):
     cfg, graph, params = setup
     A = jnp.asarray(
