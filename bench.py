@@ -178,7 +178,7 @@ def bench_train(devices, hp, graph, n_steps: int, variant: str) -> float:
     params, opt_state, loss = scan(
         params, opt_state, key, n_steps, n_steps, R_hat, eu, ei, pos
     )
-    loss.block_until_ready()
+    float(loss)  # real D2H sync — see bench_lambda_sweep's relay note
     dt = time.perf_counter() - t0
     return hp.batch_size * n_steps / dt
 
@@ -239,7 +239,7 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
         )
         epoch += chunk
         done += chunk
-    loss.block_until_ready()
+    float(loss)  # real D2H sync — see bench_lambda_sweep's relay note
     return hp.batch_size * done / (time.perf_counter() - t0)
 
 
@@ -261,7 +261,7 @@ def bench_retrieval(graph, reps: int = 30) -> float:
     t0 = time.perf_counter()
     for _ in range(reps):
         idx = retrieve_topk(params.user_emb, params.item_emb, seen, K)
-    idx.block_until_ready()
+    np.asarray(jax.device_get(idx))  # real D2H sync (relay note above)
     return U * reps / (time.perf_counter() - t0)
 
 
@@ -296,7 +296,7 @@ def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
     t0 = time.perf_counter()
     for _ in range(reps):
         idx = run()
-    idx.block_until_ready()
+    np.asarray(jax.device_get(idx))  # real D2H sync (relay note above)
     return U * reps / (time.perf_counter() - t0)
 
 
@@ -329,13 +329,13 @@ def bench_diffusion_tall(reps: int = 5) -> tuple:
     t0 = time.perf_counter()
     for _ in range(reps):
         F = user_factored_diffusion_scores(Aj, lam)
-    F.block_until_ready()
+    float(F[0, 0])  # real D2H sync (relay note above)
     fact_s = (time.perf_counter() - t0) / reps
 
     blocked_diffusion_scores(Aj, lam, block=500).block_until_ready()
     t0 = time.perf_counter()
     F = blocked_diffusion_scores(Aj, lam, block=500)
-    F.block_until_ready()
+    float(F[0, 0])  # real D2H sync (relay note above)
     blk_s = time.perf_counter() - t0
     return fact_s, blk_s
 
@@ -384,7 +384,7 @@ def bench_reference_diffusion() -> tuple:
     t0 = time.perf_counter()
     for _ in range(reps):
         F = diffusion_scores(Aj, lamj)
-    F.block_until_ready()
+    float(F[0, 0])  # real D2H sync (relay note in bench_lambda_sweep)
     ours_s = (time.perf_counter() - t0) / reps
     return ref_s, ours_s
 
