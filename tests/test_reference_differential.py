@@ -188,6 +188,37 @@ def test_diffusion_chain_matches_reference_chain(reference):
         np.testing.assert_allclose(F, F_ref, rtol=3e-5, atol=1e-5)
 
 
+def test_user_factored_diffusion_matches_reference_chain(reference):
+    """The W-free user-factored algebra (no (I, I) intermediate) vs the
+    reference's actual W_gen -> HybridS -> getResource numpy chain, at
+    float64 so only the associativity reorder separates them (~1e-12)."""
+    import jax
+
+    from lgcnhs_tpu.ops.diffusion import user_factored_diffusion_scores
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        rng = np.random.default_rng(23)
+        eu, ei = _random_interactions(rng, 30, 40, 350)
+        A = np.zeros((30, 40))
+        A[eu, ei] = 1.0
+
+        W_gen_ref = reference.spread.getSpreadingGeneralMat(A.copy())
+        for lam, transpose in ((0.6, False), (0.01, True), (0.99, True), (0.0, False), (1.0, False)):
+            W_in = W_gen_ref.T.copy() if transpose else W_gen_ref.copy()
+            W_ref = reference.spread.HybridS(A.copy(), W_in, lam)
+            F_ref = reference.spread.getResource(A.copy(), W_ref)
+            F = np.asarray(
+                user_factored_diffusion_scores(
+                    A.astype(np.float64), np.float64(lam), transpose_w=transpose
+                )
+            )
+            np.testing.assert_allclose(F, F_ref, rtol=1e-11, atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+
+
 def test_spread_ranking_matches_reference_code(reference):
     """rank_exclude_seen vs the reference's per-user argsort+filter loop
     (distinct scores, so the reference's unstable sort order is unique)."""
