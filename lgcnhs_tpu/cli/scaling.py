@@ -69,7 +69,7 @@ def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
                 params, opt_state, base_key, jnp.int32((c + 1) * chunk), chunk,
                 R_hat, eu, ei, pos_mask,
             )
-        loss.block_until_ready()
+        float(loss)  # real D2H sync (see bench.py's relay note)
         return hp.batch_size * n_chunks * chunk / (time.perf_counter() - t0)
 
     step = make_sharded_train_step(plan, optimizer, hp, I)
@@ -82,7 +82,7 @@ def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
     for _ in range(steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, sub, R_hat, eu, ei, pos_mask)
-    loss.block_until_ready()
+    float(loss)  # real D2H sync (see bench.py's relay note)
     return hp.batch_size * steps / (time.perf_counter() - t0)
 
 
@@ -115,7 +115,7 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> flo
     edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
     rowptr_np, cols_np = user_csr(U, EdgeSet(eu_np, ei_np))
     rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
-    eu_s, ei_s, norm_s = shard_coo_edges(plan, eu_np, ei_np, edge_norm)
+    se = shard_coo_edges(plan, eu_np, ei_np, edge_norm)
 
     params = jax.device_put(
         init_lightgcn(jax.random.PRNGKey(0), U, I, hp.embedding_dim),
@@ -131,7 +131,7 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> flo
     chunk = max(1, chunk)
     params, opt_state, loss = scan(
         params, opt_state, base_key, jnp.int32(0), chunk,
-        edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s,
+        edge_users, edge_items, rowptr, cols, se,
     )
     loss.block_until_ready()
     n_chunks = -(-steps // chunk)
@@ -139,9 +139,9 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> flo
     for c in range(n_chunks):
         params, opt_state, loss = scan(
             params, opt_state, base_key, jnp.int32((c + 1) * chunk), chunk,
-            edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s,
+            edge_users, edge_items, rowptr, cols, se,
         )
-    loss.block_until_ready()
+    float(loss)  # real D2H sync (see bench.py's relay note)
     return hp.batch_size * n_chunks * chunk / (time.perf_counter() - t0)
 
 

@@ -135,19 +135,46 @@ def build_edge_ordering(
     )
 
 
-def make_coo_propagator(order: EdgeOrdering, n_users: int, n_items: int):
-    """One bipartite propagation layer over sorted edges, with a custom VJP.
+def _self_adjoint_pair(pair_fn):
+    """Wrap a linear bipartite pair ``(x_u, x_i) -> (A x_i, A^T x_u)`` with
+    the self-adjoint custom VJP: the joint operator [[0, A], [A^T, 0]] is
+    symmetric, so the backward is ``pair_fn`` applied to the cotangents —
+    the same trick the Pallas dual kernel uses
+    (``ops/pallas/propagation.py``). This keeps the backward on the same
+    primitives as the forward; autodiff would instead transpose the gathers
+    into unsorted scatter-adds over the full edge set."""
 
-    ``pair(x_u, x_i) = (A_hat x_i, A_hat^T x_u)`` where A_hat is the
-    normalized (U, I) incidence held as edges. The joint operator
-    [[0, A_hat], [A_hat^T, 0]] is symmetric, so the VJP of ``pair`` is
-    ``pair`` itself applied to the cotangents — the same trick the Pallas
-    dual kernel uses (``ops/pallas/propagation.py``). Autodiff of the naive
-    segment-sum forward would instead differentiate the gathers into
-    unsorted scatter-adds over the full edge list, the exact op this layout
-    exists to avoid; the custom VJP keeps forward AND backward on sorted
-    segment sums + gathers only.
-    """
+    @jax.custom_vjp
+    def pair(x_u, x_i):
+        return pair_fn(x_u, x_i)
+
+    def fwd(x_u, x_i):
+        return pair_fn(x_u, x_i), None
+
+    def bwd(_, cot):
+        return pair_fn(*cot)
+
+    pair.defvjp(fwd, bwd)
+    return pair
+
+
+def _layer_mean(pair, user_emb, item_emb, n_layers: int):
+    """K applications of the propagation pair + the layer-stack mean
+    (``model/LightGCN/model.py:60-72``) — shared by every COO layout."""
+    eu, ei = user_emb, item_emb
+    acc_u, acc_i = eu, ei
+    for _ in range(n_layers):
+        eu, ei = pair(eu, ei)
+        acc_u = acc_u + eu
+        acc_i = acc_i + ei
+    scale = 1.0 / (n_layers + 1)
+    return acc_u * scale, acc_i * scale
+
+
+def make_coo_propagator(order: EdgeOrdering, n_users: int, n_items: int):
+    """One bipartite propagation layer over sorted edges
+    (``_self_adjoint_pair`` custom VJP): every scatter is a sorted segment
+    sum in forward AND backward; the random-access side is only gathers."""
 
     def _pair(x_u, x_i):
         msg_u = jax.ops.segment_sum(
@@ -164,19 +191,7 @@ def make_coo_propagator(order: EdgeOrdering, n_users: int, n_items: int):
         )
         return msg_u, msg_i
 
-    @jax.custom_vjp
-    def pair(x_u, x_i):
-        return _pair(x_u, x_i)
-
-    def fwd(x_u, x_i):
-        return _pair(x_u, x_i), None
-
-    def bwd(_, cot):
-        # (d x_u, d x_i) = (A_hat g_i, A_hat^T g_u) = _pair(g_u, g_i)
-        return _pair(*cot)
-
-    pair.defvjp(fwd, bwd)
-    return pair
+    return _self_adjoint_pair(_pair)
 
 
 def lightgcn_propagate_coo_sorted(
@@ -191,14 +206,7 @@ def lightgcn_propagate_coo_sorted(
     order within a segment differs, float-level only), sorted scatters in
     forward and backward."""
     pair = make_coo_propagator(order, n_users, n_items)
-    eu, ei = user_emb, item_emb
-    acc_u, acc_i = eu, ei
-    for _ in range(n_layers):
-        eu, ei = pair(eu, ei)
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
-    scale = 1.0 / (n_layers + 1)
-    return acc_u * scale, acc_i * scale
+    return _layer_mean(pair, user_emb, item_emb, n_layers)
 
 
 class BucketedSide(NamedTuple):
@@ -227,7 +235,10 @@ class BucketedIncidence(NamedTuple):
 def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
     ids = np.asarray(ids)
     nbrs = np.asarray(nbrs)
-    w = np.asarray(w, np.float32)
+    # preserve the weight dtype (f64 under x64 parity runs; f32 otherwise)
+    w = np.asarray(w)
+    if not np.issubdtype(w.dtype, np.floating):
+        w = w.astype(np.float32)
     order = np.argsort(ids, kind="stable")
     ids_s, nbrs_s, w_s = ids[order], nbrs[order], w[order]
     deg = np.bincount(ids_s, minlength=n_out)
@@ -249,7 +260,7 @@ def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
             nbr_mats.append(
                 np.where(valid, nbrs_s[posc], 0).astype(np.int32)
             )
-            w_mats.append(np.where(valid, w_s[posc], 0.0).astype(np.float32))
+            w_mats.append(np.where(valid, w_s[posc], 0.0).astype(w.dtype))
             inv[sel] = row_base + np.arange(sel.shape[0])
             row_base += sel.shape[0]
     inv[inv < 0] = row_base  # the appended zeros row
@@ -287,11 +298,8 @@ def _bucketed_aggregate(side: BucketedSide, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_bucketed_propagator(binc: BucketedIncidence):
-    """One bipartite propagation layer over the bucketed layout, custom VJP.
-
-    Same self-adjoint structure as ``make_coo_propagator``: the joint
-    operator [[0, A_hat], [A_hat^T, 0]] is symmetric, so the backward is the
-    pair itself applied to the cotangents. With the bucketed forward this
+    """One bipartite propagation layer over the bucketed layout
+    (``_self_adjoint_pair`` custom VJP): with the bucketed forward this
     makes BOTH passes scatter-free — autodiff of the gathers would
     otherwise transpose them into exactly the unsorted scatter-adds this
     layout eliminates."""
@@ -302,18 +310,7 @@ def make_bucketed_propagator(binc: BucketedIncidence):
             _bucketed_aggregate(binc.items, x_u),
         )
 
-    @jax.custom_vjp
-    def pair(x_u, x_i):
-        return _pair(x_u, x_i)
-
-    def fwd(x_u, x_i):
-        return _pair(x_u, x_i), None
-
-    def bwd(_, cot):
-        return _pair(*cot)
-
-    pair.defvjp(fwd, bwd)
-    return pair
+    return _self_adjoint_pair(_pair)
 
 
 def lightgcn_propagate_bucketed(
@@ -324,15 +321,7 @@ def lightgcn_propagate_bucketed(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``lightgcn_propagate_coo`` on the scatter-free bucketed layout — same
     math up to float summation order."""
-    pair = make_bucketed_propagator(binc)
-    eu, ei = user_emb, item_emb
-    acc_u, acc_i = eu, ei
-    for _ in range(n_layers):
-        eu, ei = pair(eu, ei)
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
-    scale = 1.0 / (n_layers + 1)
-    return acc_u * scale, acc_i * scale
+    return _layer_mean(make_bucketed_propagator(binc), user_emb, item_emb, n_layers)
 
 
 def edge_gcn_norm(

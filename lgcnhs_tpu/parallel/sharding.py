@@ -460,8 +460,15 @@ EDGE_AXES = (DATA_AXIS, MODEL_AXIS)
 
 def shard_coo_edges(plan: ShardingPlan, edge_users, edge_items, edge_norm):
     """Pad the edge list to divide the full device count (padding edges point
-    at user/item 0 with norm 0 — their messages are exact zeros) and shard it
-    over the flattened (data, model) axes."""
+    at user/item 0 with norm 0 — their messages are exact zeros), sort each
+    device's contiguous block by user AND by item ON THE HOST (one-time,
+    numpy — re-sorting loop-invariant edges inside every jitted dispatch
+    would pay two O(E log E) device sorts per step), and ship the six
+    per-shard-sorted arrays over the flattened (data, model) axes.
+
+    Returns ``(eu_by_u, ei_by_u, norm_by_u, eu_by_i, ei_by_i, norm_by_i)``
+    — the per-shard ``ops.propagation.EdgeOrdering`` layout the sharded
+    propagator's sorted segment sums consume."""
     n_dev = int(plan.mesh.devices.size)
     eu = np.asarray(edge_users)
     E = eu.shape[0]
@@ -469,12 +476,19 @@ def shard_coo_edges(plan: ShardingPlan, edge_users, edge_items, edge_norm):
     eu = np.pad(eu, (0, pad))
     ei = np.pad(np.asarray(edge_items), (0, pad))
     norm = np.pad(np.asarray(edge_norm), (0, pad))
+    block = eu.shape[0] // n_dev
+
+    outs = [np.empty_like(eu), np.empty_like(ei), np.empty_like(norm),
+            np.empty_like(eu), np.empty_like(ei), np.empty_like(norm)]
+    for d in range(n_dev):
+        sl = slice(d * block, (d + 1) * block)
+        pu = np.argsort(eu[sl], kind="stable")
+        pi = np.argsort(ei[sl], kind="stable")
+        outs[0][sl], outs[1][sl], outs[2][sl] = eu[sl][pu], ei[sl][pu], norm[sl][pu]
+        outs[3][sl], outs[4][sl], outs[5][sl] = eu[sl][pi], ei[sl][pi], norm[sl][pi]
+
     edge_shard = NamedSharding(plan.mesh, P(EDGE_AXES))
-    return (
-        jax.device_put(jnp.asarray(eu), edge_shard),
-        jax.device_put(jnp.asarray(ei), edge_shard),
-        jax.device_put(jnp.asarray(norm), edge_shard),
-    )
+    return tuple(jax.device_put(jnp.asarray(o), edge_shard) for o in outs)
 
 
 def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
@@ -483,26 +497,13 @@ def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
     segment-sums + psum over the flattened mesh — numerically the same sum
     as ``ops.propagation.lightgcn_propagate_coo`` up to float reassociation.
 
-    Each shard sorts its edge block by user and by item once per call
-    (``ops.propagation.EdgeOrdering`` locally), so every scatter is a
+    Each shard's edge block arrives pre-sorted by user and by item
+    (``shard_coo_edges`` sorts host-side, once), so every scatter is a
     sorted segment sum; and the layer pair carries the self-adjoint custom
     VJP (the joint operator [[0, A],[A^T, 0]] is symmetric, so the backward
     is the pair applied to the cotangents) — autodiff through the shard_map
     would instead transpose the gathers into unsorted full-edge-block
     scatter-adds, the slowest primitive on TPU for this workload."""
-
-    def _local_sort(eu, ei, w):
-        from lgcnhs_tpu.ops.propagation import build_edge_ordering
-
-        return tuple(build_edge_ordering(eu, ei, w))
-
-    sort_edges = shard_map(
-        _local_sort,
-        mesh=plan.mesh,
-        in_specs=(P(EDGE_AXES),) * 3,
-        out_specs=(P(EDGE_AXES),) * 6,
-        check_vma=False,
-    )
 
     def _local_pair(x_u, x_i, eu_u, ei_u, w_u, eu_i, ei_i, w_i):
         msg_u = jax.ops.segment_sum(
@@ -541,8 +542,7 @@ def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
 
     pair.defvjp(_fwd, _bwd)
 
-    def propagate(ue, ie, e_u, e_i, norm):
-        se = sort_edges(e_u, e_i, norm)
+    def propagate(ue, ie, se):
         eu, ei = ue, ie
         acc_u, acc_i = eu, ei
         for _ in range(n_layers):
@@ -565,10 +565,8 @@ def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,
 
     propagate = _coo_propagate_sharded(plan, n_users, n_items, hp.layers)
 
-    def _loss(params, eu_s, ei_s, norm_s, users, pos_items, neg_items):
-        u_final, i_final = propagate(
-            params.user_emb, params.item_emb, eu_s, ei_s, norm_s
-        )
+    def _loss(params, se, users, pos_items, neg_items):
+        u_final, i_final = propagate(params.user_emb, params.item_emb, se)
         return bpr_loss(
             u_final[users], params.user_emb[users],
             i_final[pos_items], params.item_emb[pos_items],
@@ -577,13 +575,12 @@ def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key, edge_users, edge_items, rowptr, cols,
-             eu_s, ei_s, norm_s):
+    def step(params, opt_state, key, edge_users, edge_items, rowptr, cols, se):
         users, pos_items, neg_items = sample_bpr_batch_csr(
             key, edge_users, edge_items, rowptr, cols, hp.batch_size, n_items
         )
         loss, grads = jax.value_and_grad(_loss)(
-            params, eu_s, ei_s, norm_s, users, pos_items, neg_items
+            params, se, users, pos_items, neg_items
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -600,13 +597,13 @@ def make_sharded_coo_train_scan(plan: ShardingPlan, optimizer, hp,
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
     def train_scan(params, opt_state, base_key, epoch0, n_steps,
-                   edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s):
+                   edge_users, edge_items, rowptr, cols, se):
         def body(carry, epoch):
             params, opt_state = carry
             key = jax.random.fold_in(base_key, epoch)
             params, opt_state, loss = step_once.__wrapped__(
                 params, opt_state, key, edge_users, edge_items, rowptr, cols,
-                eu_s, ei_s, norm_s,
+                se,
             )
             return (params, opt_state), loss
 

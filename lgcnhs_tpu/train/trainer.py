@@ -622,14 +622,12 @@ def train_lightgcn(
                     shard_coo_edges,
                 )
 
-                eu_s, ei_s, norm_s = shard_coo_edges(
+                se = shard_coo_edges(
                     plan, graph.train.users, graph.train.items, edge_norm
                 )
                 train_step = make_sharded_coo_train_step(plan, optimizer, hp, U, I)
                 train_scan = make_sharded_coo_train_scan(plan, optimizer, hp, U, I)
-                step_args = lambda: (
-                    edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s
-                )
+                step_args = lambda: (edge_users, edge_items, rowptr, cols, se)
             else:
                 from lgcnhs_tpu.ops.propagation import build_bucketed_incidence
 

@@ -122,6 +122,38 @@ def test_bucketed_matches_unsorted_forward_and_grad():
         )
 
 
+def test_bucketed_preserves_float64():
+    """build_bucketed_incidence must not round f64 weights to f32 — the x64
+    parity runs rely on reassociation-level (~1e-12) agreement."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.ops.propagation import (
+        build_bucketed_incidence,
+        lightgcn_propagate_bucketed,
+    )
+
+    was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        eu, ei, user_emb, item_emb = _setup()
+        norm = np.asarray(edge_gcn_norm(eu, ei, U, I)).astype(np.float64)
+        binc = build_bucketed_incidence(eu, ei, norm, U, I)
+        assert all(w.dtype == jnp.float64 for w in binc.users.w)
+        cu, ci = lightgcn_propagate_coo(
+            user_emb.astype(np.float64), item_emb.astype(np.float64),
+            eu, ei, jnp.asarray(norm), U, I, K,
+        )
+        bu, bi = lightgcn_propagate_bucketed(
+            jnp.asarray(user_emb, jnp.float64),
+            jnp.asarray(item_emb, jnp.float64), binc, K,
+        )
+        np.testing.assert_allclose(np.asarray(bu), np.asarray(cu), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(ci), rtol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", was)
+
+
 def test_zero_degree_nodes_stay_finite():
     eu, ei, user_emb, item_emb = _setup()
     # add an isolated user/item by construction: none reference idx U-1 / I-1

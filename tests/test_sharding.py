@@ -340,14 +340,14 @@ class TestShardedCooTraining:
 
         mesh = make_mesh((2, 4))
         plan = make_plan(mesh)
-        eu_s, ei_s, norm_s = shard_coo_edges(plan, eu, ei, edge_norm)
+        se = shard_coo_edges(plan, eu, ei, edge_norm)
         params1 = jax.device_put(
             init_lightgcn(jax.random.PRNGKey(0), U, I, D), plan.replicated
         )
         step1 = make_sharded_coo_train_step(plan, optimizer, hp, U, I)
         p_m, _, loss_m = step1(
             params1, optimizer.init(params1), key,
-            edge_users, edge_items, rowptr, cols, eu_s, ei_s, norm_s,
+            edge_users, edge_items, rowptr, cols, se,
         )
 
         # same triple stream, psum-reassociated sums: bit-close
