@@ -58,6 +58,29 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def timed_rate(run, reps: int) -> float:
+    """Seconds per invocation of ``run()`` (which must return a device
+    array), robust to BOTH relay pathologies: every timed region ends with
+    a real device fetch (block_until_ready has been observed returning
+    early through the tunnel), and the region is measured at ``reps`` and
+    ``2*reps`` invocations with the rate taken from the DIFFERENCE — the
+    fetch's variable latency (25 ms nominal, ~1 s when the relay degrades)
+    cancels instead of polluting short regions."""
+    import jax
+
+    def region(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = run()
+        jax.device_get(out)
+        return time.perf_counter() - t0
+
+    t1 = region(reps)
+    t2 = region(2 * reps)
+    return max((t2 - t1) / reps, 1e-9)
+
+
 def _find_ml1m_dir():
     """Real ml-1m directory when present: $LGCNHS_ML1M_DIR, else the
     conventional fetch locations. None -> synthetic stand-in."""
@@ -258,11 +281,10 @@ def bench_retrieval(graph, reps: int = 30) -> float:
     seen = jnp.asarray(pos_bool_matrix(U, I, graph.train, graph.val))
     idx = retrieve_topk(params.user_emb, params.item_emb, seen, K)
     idx.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        idx = retrieve_topk(params.user_emb, params.item_emb, seen, K)
-    np.asarray(jax.device_get(idx))  # real D2H sync (relay note above)
-    return U * reps / (time.perf_counter() - t0)
+    per = timed_rate(
+        lambda: retrieve_topk(params.user_emb, params.item_emb, seen, K), reps
+    )
+    return U / per
 
 
 def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
@@ -293,11 +315,7 @@ def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
         run = lambda: _serve_unfused(params.user_emb, params.item_emb, A, W, seen, K)
 
     run().block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        idx = run()
-    np.asarray(jax.device_get(idx))  # real D2H sync (relay note above)
-    return U * reps / (time.perf_counter() - t0)
+    return U / timed_rate(run, reps)
 
 
 def bench_diffusion_tall(reps: int = 5) -> tuple:
@@ -326,17 +344,10 @@ def bench_diffusion_tall(reps: int = 5) -> tuple:
     lam = jnp.float32(0.6)
 
     user_factored_diffusion_scores(Aj, lam).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        F = user_factored_diffusion_scores(Aj, lam)
-    float(F[0, 0])  # real D2H sync (relay note above)
-    fact_s = (time.perf_counter() - t0) / reps
+    fact_s = timed_rate(lambda: user_factored_diffusion_scores(Aj, lam), reps)
 
     blocked_diffusion_scores(Aj, lam, block=500).block_until_ready()
-    t0 = time.perf_counter()
-    F = blocked_diffusion_scores(Aj, lam, block=500)
-    float(F[0, 0])  # real D2H sync (relay note above)
-    blk_s = time.perf_counter() - t0
+    blk_s = timed_rate(lambda: blocked_diffusion_scores(Aj, lam, block=500), 1)
     return fact_s, blk_s
 
 
@@ -380,12 +391,7 @@ def bench_reference_diffusion() -> tuple:
     Aj = jnp.asarray(A, jnp.float32)
     lamj = jnp.asarray(lam, jnp.float32)
     diffusion_scores(Aj, lamj).block_until_ready()  # compile
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        F = diffusion_scores(Aj, lamj)
-    float(F[0, 0])  # real D2H sync (relay note in bench_lambda_sweep)
-    ours_s = (time.perf_counter() - t0) / reps
+    ours_s = timed_rate(lambda: diffusion_scores(Aj, lamj), 10)
     return ref_s, ours_s
 
 
