@@ -60,25 +60,33 @@ def log(msg: str) -> None:
 
 def timed_rate(run, reps: int) -> float:
     """Seconds per invocation of ``run()`` (which must return a device
-    array), robust to BOTH relay pathologies: every timed region ends with
-    a real device fetch (block_until_ready has been observed returning
-    early through the tunnel), and the region is measured at ``reps`` and
-    ``2*reps`` invocations with the rate taken from the DIFFERENCE — the
-    fetch's variable latency (25 ms nominal, ~1 s when the relay degrades)
-    cancels instead of polluting short regions."""
+    array), robust to the relay's two timing pathologies observed this
+    round: (a) ``block_until_ready`` once returned immediately (a 0.000 s
+    "measurement" of a 0.3 s program), and (b) device fetches have wildly
+    erratic latency when the relay degrades (25 ms nominal; up to ~60 s
+    observed), so fetch-terminated timing poisons short regions.
+
+    Strategy: time the region with block_until_ready (stable in every
+    healthy run), then VERIFY execution with one fetch OUTSIDE the timer.
+    Only if the blocked region is implausibly small (< 1 ms — the lying-
+    block signature) re-time fetch-terminated, which is conservative (an
+    upper bound) rather than flattering."""
     import jax
 
-    def region(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = run()
-        jax.device_get(out)
-        return time.perf_counter() - t0
-
-    t1 = region(reps)
-    t2 = region(2 * reps)
-    return max((t2 - t1) / reps, 1e-9)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = run()
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    jax.device_get(out)  # execution proof, outside the timer
+    if dt >= 1e-3:
+        return dt / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    jax.device_get(out)
+    return (time.perf_counter() - t0) / reps
 
 
 def _find_ml1m_dir():
@@ -201,8 +209,16 @@ def bench_train(devices, hp, graph, n_steps: int, variant: str) -> float:
     params, opt_state, loss = scan(
         params, opt_state, key, n_steps, n_steps, R_hat, eu, ei, pos
     )
-    float(loss)  # real D2H sync — see bench_lambda_sweep's relay note
+    loss.block_until_ready()
     dt = time.perf_counter() - t0
+    float(loss)  # execution proof, outside the timer (see timed_rate)
+    if dt < 1e-2:  # a 200-step region cannot be this fast: block lied
+        t0 = time.perf_counter()
+        params, opt_state, loss = scan(
+            params, opt_state, key, 2 * n_steps, n_steps, R_hat, eu, ei, pos
+        )
+        float(loss)
+        dt = time.perf_counter() - t0
     return hp.batch_size * n_steps / dt
 
 
@@ -262,8 +278,10 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
         )
         epoch += chunk
         done += chunk
-    float(loss)  # real D2H sync — see bench_lambda_sweep's relay note
-    return hp.batch_size * done / (time.perf_counter() - t0)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    float(loss)  # execution proof, outside the timer (see timed_rate)
+    return hp.batch_size * done / dt
 
 
 def bench_retrieval(graph, reps: int = 30) -> float:
@@ -456,18 +474,8 @@ def bench_lambda_sweep() -> tuple:
         jnp.asarray(ctx.eval_present), S,
     )
     lambda_sweep_metrics(lambdas, *sweep_args, K).block_until_ready()  # compile
-    # Time through an actual device_get: on the tunneled TPU,
-    # block_until_ready was once observed returning immediately (a 0.000 s
-    # "measurement" in an otherwise healthy process); fetching the (101, 5)
-    # result forces a real round-trip and is what the findLambda driver does
-    # with it anyway. Min of 3 reps.
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = lambda_sweep_metrics(lambdas, *sweep_args, K)
-        np.asarray(jax.device_get(out))
-        ts.append(time.perf_counter() - t0)
-    ours_s = min(ts)
+    # block-timed mean of 3 with a lying-block guard (see timed_rate)
+    ours_s = timed_rate(lambda: lambda_sweep_metrics(lambdas, *sweep_args, K), 3)
 
     ref_root = Path("/root/reference")
     if not ref_root.exists():
