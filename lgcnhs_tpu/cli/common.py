@@ -68,6 +68,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "wall-clock on relayed TPUs; chunking never changes the model — "
         "the per-epoch fold_in key stream is dispatch-invariant)",
     )
+    p.add_argument(
+        "--platform",
+        choices=["auto", "cpu", "tpu"],
+        default="auto",
+        help="force the JAX platform (this machine's sitecustomize pins "
+        "jax_platforms='axon,cpu', overriding the JAX_PLATFORMS env var — "
+        "'--platform cpu' is the only reliable way to keep a CLI run off "
+        "the TPU; 'auto' keeps the ambient default)",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -111,6 +120,15 @@ def warmup_device_transfer() -> float:
 
 def config_from_args(args: argparse.Namespace) -> Config:
     enable_compilation_cache()
+    if getattr(args, "platform", "auto") != "auto":
+        import jax
+
+        # must land before any backend use; "cpu" avoids the tunneled TPU's
+        # variable first-transfer handshake for host-scale runs
+        jax.config.update(
+            "jax_platforms",
+            "cpu" if args.platform == "cpu" else "axon,cpu",
+        )
     try:
         import jax
 

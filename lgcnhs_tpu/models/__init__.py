@@ -7,6 +7,7 @@ from lgcnhs_tpu.models.lightgcn import (  # noqa: F401
     lightgcn_forward,
     layer0_scores,
     sample_bpr_batch,
+    sample_negatives_for_edges,
 )
 from lgcnhs_tpu.models.fusion import fused_recommend, recommend_fused  # noqa: F401
 from lgcnhs_tpu.models.recommenders import recommend, recommend_gcn  # noqa: F401

@@ -150,6 +150,41 @@ def sample_bpr_batch(
     return users, pos_items, negs
 
 
+@partial(jax.jit, static_argnames=("n_items", "n_retries"))
+def sample_negatives_for_edges(
+    key: jax.Array,
+    edge_users: jnp.ndarray,  # (E,)
+    edge_items: jnp.ndarray,  # (E,)
+    pos_mask: jnp.ndarray,  # (U, I) bool — this split's positives, for rejection
+    n_items: int,
+    n_retries: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(users, pos_items, neg_items) covering EVERY edge exactly once, in
+    edge order, with one rejected negative per edge.
+
+    This is the reference's ``calValLoss`` sampling
+    (``model/LightGCN/evaluation.py:68-77``): ``structured_negative_sampling``
+    enumerates the full edge list — there is NO minibatch resample — and
+    draws one uniform candidate per edge, rejected against that split's
+    positive pairs. Distinct from ``sample_bpr_batch``, which first draws
+    ``batch_size`` edges with replacement (``loss.py:64``).
+
+    Rejection uses the same one-shot ``n_retries``-round candidate draw as
+    ``sample_bpr_batch`` (residual collision probability rho^n_retries).
+    Known deviation (docs/PARITY.md "Known deviations"): candidates are drawn
+    from ``[0, n_items)`` whereas torch-geometric's range is bounded by the
+    max node id present in the split's edge matrix (``loss.py:58`` /
+    ``evaluation.py:71-72``).
+    """
+    E = edge_users.shape[0]
+    cands = jax.random.randint(key, (n_retries, E), 0, n_items)
+    pos_rows = pos_mask[edge_users]  # (E, I)
+    collide = jnp.take_along_axis(pos_rows, cands.T, axis=1).T  # (R, E)
+    first_ok = jnp.argmax(~collide, axis=0)
+    negs = jnp.take_along_axis(cands, first_ok[None, :], axis=0)[0]
+    return edge_users, edge_items, negs
+
+
 @jax.jit
 def layer0_scores(params: LightGCNParams) -> jnp.ndarray:
     """Full preference matrix from the LAYER-0 tables — the reference's

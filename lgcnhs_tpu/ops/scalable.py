@@ -107,6 +107,32 @@ def sample_bpr_batch_csr(
     return users, pos_items, negs
 
 
+@partial(jax.jit, static_argnames=("n_items", "n_retries"))
+def sample_negatives_for_edges_csr(
+    key: jax.Array,
+    edge_users: jnp.ndarray,  # (E,)
+    edge_items: jnp.ndarray,  # (E,)
+    rowptr: jnp.ndarray,  # (U+1,) CSR over the SAME split, for rejection
+    cols: jnp.ndarray,  # (Ec,) sorted item lists
+    n_items: int,
+    n_retries: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CSR flavor of ``models.lightgcn.sample_negatives_for_edges`` — every
+    edge exactly once in order, one rejected negative each (the reference's
+    ``calValLoss`` sampling, ``model/LightGCN/evaluation.py:68-77``), with
+    membership tested by per-user binary search instead of a dense (U, I)
+    ``pos_mask``. Same RNG draws as the dense flavor, so the two emit
+    bit-identical negative streams."""
+    E = edge_users.shape[0]
+    cands = jax.random.randint(key, (n_retries, E), 0, n_items)
+    collide = _csr_contains(
+        rowptr, cols, jnp.broadcast_to(edge_users[None, :], cands.shape), cands
+    )
+    first_ok = jnp.argmax(~collide, axis=0)
+    negs = jnp.take_along_axis(cands, first_ok[None, :], axis=0)[0]
+    return edge_users, edge_items, negs
+
+
 @jax.jit
 def hits_csr(rec: jnp.ndarray, rowptr: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
     """(U, k) 0/1 hit matrix — ``metrics_ops.hit_matrix`` against CSR

@@ -10,8 +10,10 @@ flavor). Semantics preserved:
   ``epoch_per_lr_decay`` epochs, skipping epoch 0 (``train.py:104-105,180-181``):
   lr(e) = lr0 * gamma^max(0, floor((e-1)/decay_every))
 - every ``epoch_per_eval`` epochs: val loss computed by FORWARDING ON THE VAL
-  ADJACENCY with structured negative sampling over all val edges
-  (``evaluation.py:56-86``), val recommendations from LAYER-0 scores with
+  ADJACENCY and scoring EVERY val edge exactly once with one rejected
+  negative each — structured negative sampling over the full val edge list,
+  no minibatch resample (``evaluation.py:68-77``) —, val recommendations
+  from LAYER-0 scores with
   train positives masked (``evaluation.py:17-54``), accuracy metrics vs val
   positives and diversity metrics with TRAIN-only degrees/interactions
   (``train.py:147-177``)
@@ -52,6 +54,7 @@ from lgcnhs_tpu.models.lightgcn import (
     init_lightgcn_opti,
     layer0_scores,
     sample_bpr_batch,
+    sample_negatives_for_edges,
 )
 from lgcnhs_tpu.ops.propagation import lightgcn_propagate
 from lgcnhs_tpu.ops.topk import masked_topk
@@ -460,9 +463,10 @@ def train_lightgcn(
             return unpad_params(params, U, I)
 
         def val_loss_closure(params, vkey):
-            v_users, v_pos, v_neg = sample_bpr_batch(
-                vkey, val_edge_users, val_edge_items, val_pos,
-                int(val_edge_users.shape[0]), I,
+            # every val edge exactly once, one rejected negative each
+            # (calValLoss, evaluation.py:68-77) — NOT a bootstrap resample
+            v_users, v_pos, v_neg = sample_negatives_for_edges(
+                vkey, val_edge_users, val_edge_items, val_pos, I
             )
             return val_loss_fn(
                 params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
@@ -524,9 +528,9 @@ def train_lightgcn(
                 return p, r, n, h, i
 
             def val_loss_closure(params, vkey):
-                v_users, v_pos, v_neg = sample_bpr_batch(
-                    vkey, val_edge_users, val_edge_items, val_pos,
-                    int(val_edge_users.shape[0]), I,
+                # every val edge exactly once (calValLoss, evaluation.py:68-77)
+                v_users, v_pos, v_neg = sample_negatives_for_edges(
+                    vkey, val_edge_users, val_edge_items, val_pos, I
                 )
                 return val_loss_fn(
                     params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
@@ -573,9 +577,9 @@ def train_lightgcn(
                 )
 
             def val_loss_closure(params, vkey):
-                v_users, v_pos, v_neg = scalable.sample_bpr_batch_csr(
-                    vkey, val_edge_users, val_edge_items, v_rowptr, v_cols,
-                    int(val_edge_users.shape[0]), I,
+                # every val edge exactly once (calValLoss, evaluation.py:68-77)
+                v_users, v_pos, v_neg = scalable.sample_negatives_for_edges_csr(
+                    vkey, val_edge_users, val_edge_items, v_rowptr, v_cols, I
                 )
                 return _coo_val_loss(params, v_users, v_pos, v_neg, hp.layers)
 

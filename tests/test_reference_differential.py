@@ -1327,9 +1327,15 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch, flav
       reference: ``structured_negative_sampling`` (real rejection semantics,
         seeded per call) + ``random.choices`` (the minibatch draw) + the
         torch-geometric stand-ins from the single-step test above
-      ours: ``trainer.sample_bpr_batch`` replaced by a PRNG-key-indexed
-        lookup of the SAME triples (the trainer's fold_in key stream is
-        deterministic, so each key maps to exactly one reference draw)
+      ours: ``trainer.sample_bpr_batch`` (train side) replaced by a
+        PRNG-key-indexed lookup of the SAME triples (the trainer's fold_in
+        key stream is deterministic, so each key maps to exactly one
+        reference draw); ``trainer.sample_negatives_for_edges`` (val side)
+        replaced by a stub that injects ONLY the negative draws — the val
+        EDGE ENUMERATION comes from production, and the stub asserts it is
+        exactly every val edge once (so a bootstrap resample, duplicate, or
+        dropped edge on the production side FAILS this test — the round-3
+        verdict's blind spot)
 
     This closes the VERDICT r2 trained-path gap: single-step forward/loss/
     grad and the optimizer trajectory were already pinned; this pins their
@@ -1611,23 +1617,34 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch, flav
                   train_negs[e][batch_idx[e]]])
         for e in range(epochs)
     ]).astype(np.int32)
-    val_tab = np.stack(
-        [np.stack([svu, svi, val_negs[e]]) for e in eval_epochs]
-    ).astype(np.int32)
 
-    train_keys_j, val_keys_j = jnp.asarray(train_keys), jnp.asarray(val_keys)
-    train_tab_j, val_tab_j = jnp.asarray(train_tab), jnp.asarray(val_tab)
+    train_keys_j = jnp.asarray(train_keys)
+    train_tab_j = jnp.asarray(train_tab)
 
     def sampler_stub(key, edge_users, edge_items, pos_mask, batch_size, n_items):
-        keys, table = (
-            (train_keys_j, train_tab_j) if batch_size == B
-            else (val_keys_j, val_tab_j)
-        )
-        idx = jnp.argmax(jnp.all(keys == key[None, :], axis=1))
-        t = table[idx]
+        assert batch_size == B  # val loss must NOT go through the minibatch sampler
+        idx = jnp.argmax(jnp.all(train_keys_j == key[None, :], axis=1))
+        t = train_tab_j[idx]
         return t[0], t[1], t[2]
 
+    def negs_stub(key, edge_users, edge_items, pos_mask, n_items, n_retries=8):
+        # narrow injection: production supplies the edge enumeration; ONLY
+        # the per-edge negative draws are replaced. Assert the enumeration
+        # is every val edge exactly once (any with-replacement resample,
+        # duplication, or omission fails here).
+        eu_np = np.asarray(edge_users)
+        ei_np = np.asarray(edge_items)
+        order = np.lexsort((ei_np, eu_np))
+        np.testing.assert_array_equal(eu_np[order], svu)
+        np.testing.assert_array_equal(ei_np[order], svi)
+        idx = int(np.argmax(np.all(val_keys == np.asarray(key)[None, :], axis=1)))
+        negs_sorted = val_negs[eval_epochs[idx]]
+        negs = np.empty_like(negs_sorted)
+        negs[order] = negs_sorted  # re-pair each negative with its edge
+        return edge_users, edge_items, jnp.asarray(negs)
+
     monkeypatch.setattr(trainer_mod, "sample_bpr_batch", sampler_stub)
+    monkeypatch.setattr(trainer_mod, "sample_negatives_for_edges", negs_stub)
     # inject the captured torch-seeded init (for Opti this includes the
     # reference's feature-projection draws); arrays are built lazily so the
     # jnp conversion happens INSIDE the x64-enabled block below
@@ -1670,3 +1687,42 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch, flav
     np.testing.assert_allclose(
         np.asarray(result.params.item_emb), if_ref, rtol=0, atol=1e-10
     )
+
+
+def test_negative_candidate_range_deviation():
+    """Demonstrates docs/PARITY.md Known deviation 6: torch-geometric's
+    ``structured_negative_sampling`` (model/LightGCN/loss.py:58,
+    evaluation.py:71-72) draws negative candidates from
+    ``[0, edge_index.max()+1)`` over the split's bipartite edge matrix —
+    bounded by the max node id PRESENT in the split — while our production
+    samplers draw from ``[0, n_items)``. On a split whose max item id is
+    below n_items-1, the reference can never emit the tail items as
+    negatives; ours can (and does)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.models.lightgcn import sample_negatives_for_edges
+
+    # split: catalog has 12 items but only ids 0..4 appear; max user id 7
+    us = np.array([0, 1, 2, 3, 7, 5], np.int32)
+    its = np.array([0, 1, 2, 3, 4, 2], np.int32)
+    n_users, n_items = 8, 12
+
+    # reference semantics: candidate range [0, max(u_max, i_max)+1)
+    n_cand = int(max(us.max(), its.max())) + 1
+    assert n_cand == 8 < n_items  # items 8..11 unreachable by construction
+    # ... and the range even exceeds the max item id present (ids 5..7 are
+    # drawn as "items" although no item above 4 appears in this split)
+    assert n_cand - 1 > int(its.max())
+
+    # ours: uniform over the true catalog — tail items ARE reachable
+    pos = np.zeros((n_users, n_items), bool)
+    pos[us, its] = True
+    drawn = set()
+    for seed in range(32):
+        _, _, negs = sample_negatives_for_edges(
+            jax.random.PRNGKey(seed), jnp.asarray(us), jnp.asarray(its),
+            jnp.asarray(pos), n_items,
+        )
+        drawn.update(np.asarray(negs).tolist())
+    assert any(i >= n_cand for i in drawn)

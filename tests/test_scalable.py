@@ -65,6 +65,33 @@ def test_csr_sampler_negatives_never_positive():
     assert not pos[np.asarray(users), np.asarray(negs)].any()
 
 
+def test_all_edges_sampler_covers_every_edge_once_and_matches_csr():
+    """sample_negatives_for_edges (the calValLoss sampler,
+    model/LightGCN/evaluation.py:68-77): enumeration is the edge list itself
+    in order, negatives are true negatives, and the CSR flavor is
+    bit-identical to the dense one."""
+    from lgcnhs_tpu.models.lightgcn import sample_negatives_for_edges
+    from lgcnhs_tpu.ops.scalable import sample_negatives_for_edges_csr
+
+    es = _edges(seed=5)
+    rowptr, cols = user_csr(U, es)
+    pos = pos_bool_matrix(U, I, es)
+    eu, ei = jnp.asarray(es.users), jnp.asarray(es.items)
+    for seed in range(4):
+        key = jax.random.PRNGKey(seed)
+        du, dp, dn = sample_negatives_for_edges(key, eu, ei, jnp.asarray(pos), I)
+        # every edge exactly once, in order — no resample
+        np.testing.assert_array_equal(np.asarray(du), es.users)
+        np.testing.assert_array_equal(np.asarray(dp), es.items)
+        assert not pos[np.asarray(du), np.asarray(dn)].any()
+        su, sp, sn = sample_negatives_for_edges_csr(
+            key, eu, ei, jnp.asarray(rowptr), jnp.asarray(cols), I
+        )
+        np.testing.assert_array_equal(np.asarray(dn), np.asarray(sn))
+        np.testing.assert_array_equal(np.asarray(su), es.users)
+        np.testing.assert_array_equal(np.asarray(sp), es.items)
+
+
 def test_chunked_masked_topk_matches_dense():
     es = _edges(seed=1)
     rowptr, cols = user_csr(U, es)
