@@ -74,32 +74,41 @@ def main(argv=None) -> pd.DataFrame:
             jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
             jnp.asarray(ctx.eval_present), jnp.asarray(ctx.item_deg), cfg.k,
         )
-    elif mesh is None and regime == "blocked":
-        # wide AND tall: the (U, U) factored intermediate is as impossible
+    elif mesh is None and regime in ("blocked", "sharded"):
+        # wide catalogs: the (U, U) factored intermediate is as impossible
         # as the (I, I) one; this regime needs the item-sharded mesh layout
+        # (which builds W_gen and S as collective Grams, never dense on one
+        # device — see item_sharded_lambda_sweep)
         raise SystemExit(
             f"lambda sweep at U={graph.n_users} x I={graph.n_items} exceeds "
             "a single device in every layout (both (I, I) and (U, U) "
             "intermediates are over budget) — run with --mesh to use the "
             "item-sharded sweep"
         )
+    elif mesh is not None:
+        # W_gen and S are NOT built here: sharded_lambda_sweep builds them
+        # in whichever layout its replication budget picks — dense when the
+        # operands replicate, as collective Grams over the item-sharded A
+        # when they don't (a host-dense (I, I) here would OOM exactly in the
+        # regime the single-chip error above tells users to bring a mesh for)
+        log.info(
+            "lambda sweep sharded over %d devices (mesh %s flattened)",
+            mesh.devices.size, dict(mesh.shape),
+        )
+        metrics = sharded_lambda_sweep(
+            mesh, lambdas, G, A, None, seen,
+            jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
+            jnp.asarray(ctx.eval_present), None, k=cfg.k,
+        )
     else:
         # W_gen once (findLambda.py:81)
         W_gen = general_spreading_matrix(A)
         S = similarity_matrix(jnp.asarray(ctx.interaction), jnp.asarray(ctx.item_deg))
-        sweep_args = (
-            G, A, W_gen, seen,
+        metrics = lambda_sweep_metrics(
+            jnp.asarray(lambdas), G, A, W_gen, seen,
             jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
-            jnp.asarray(ctx.eval_present), S,
+            jnp.asarray(ctx.eval_present), S, cfg.k,
         )
-        if mesh is not None:
-            log.info(
-                "lambda sweep sharded over %d devices (mesh %s flattened)",
-                mesh.devices.size, dict(mesh.shape),
-            )
-            metrics = sharded_lambda_sweep(mesh, lambdas, *sweep_args, k=cfg.k)
-        else:
-            metrics = lambda_sweep_metrics(jnp.asarray(lambdas), *sweep_args, cfg.k)
 
     rows = sweep_rows(lambdas, np.asarray(metrics))
     for row in rows:

@@ -184,17 +184,34 @@ def choose_diffusion(
     itemsize: int = 4,
     budget_bytes: int | None = None,
 ) -> str:
-    """Dispatch rule for ``diffusion_scores_auto``: "dense" while the (I, I)
-    transfer matrix fits the budget (bit-identical to the reference's
-    operation order — the parity path), else "factored" when 2U < I (fewer
-    FLOPs and no I^2 anywhere), else "blocked" (streams W in item blocks).
+    """Dispatch rule for ``diffusion_scores_auto``, budgeting EVERY layout's
+    full live set — not just the (I, I) operator (round-3 verdict: the old
+    rule could pick "factored" into a (U, U)+(U, I) footprint larger than
+    the (I, I) it was avoiding):
+
+    - "dense" (the parity path, bit-identical to the reference's operation
+      order): peak ~ 2 (I, I) [W_gen + the scaled W] + 3 (U, I) [A, An, F]
+    - "factored" (tall catalogs, 2U < I): peak ~ 1 (U, U) + 3 (U, I)
+      [the scaled A copies and F; no I^2 anywhere]
+    - "blocked" (streams W in (I, block) column blocks): peak ~ 3 (U, I)
+    - "sharded": nothing single-chip fits — even three (U, I) arrays blow
+      the budget; callers must go to ``parallel.sharding.
+      sharded_diffusion_scores`` / the item-sharded sweep on a mesh.
+
     ``budget_bytes=None`` reads ``DENSE_TRANSFER_BUDGET_BYTES`` at call
     time."""
     if budget_bytes is None:
         budget_bytes = DENSE_TRANSFER_BUDGET_BYTES
-    if n_items * n_items * itemsize <= budget_bytes:
+    ui = n_users * n_items * itemsize
+    ii = n_items * n_items * itemsize
+    uu = n_users * n_users * itemsize
+    if 2 * ii + 3 * ui <= budget_bytes:
         return "dense"
-    return "factored" if 2 * n_users < n_items else "blocked"
+    if 2 * n_users < n_items and uu + 3 * ui <= budget_bytes:
+        return "factored"
+    if 3 * ui <= budget_bytes:
+        return "blocked"
+    return "sharded"
 
 
 def diffusion_scores_auto(
@@ -203,7 +220,9 @@ def diffusion_scores_auto(
     """Size-dispatching diffusion scoring: exactly ``diffusion_scores`` in
     the regime every parity test runs in, and the best W-free algorithm
     (``user_factored_diffusion_scores`` / ``blocked_diffusion_scores``) once
-    the catalog outgrows a materialized (I, I) transfer matrix."""
+    the catalog outgrows a materialized (I, I) transfer matrix. Raises (with
+    the mesh route) rather than tracing a guaranteed-OOM program when no
+    single-chip layout fits the budget."""
     choice = choose_diffusion(
         A.shape[0], A.shape[1], jnp.asarray(A).dtype.itemsize
     )
@@ -211,7 +230,18 @@ def diffusion_scores_auto(
         return diffusion_scores(A, lam, transpose_w=transpose_w)
     if choice == "factored":
         return user_factored_diffusion_scores(A, lam, transpose_w=transpose_w)
-    return blocked_diffusion_scores(A, lam, block=block, transpose_w=transpose_w)
+    if choice == "blocked":
+        return blocked_diffusion_scores(A, lam, block=block, transpose_w=transpose_w)
+    raise ValueError(
+        f"diffusion at U={A.shape[0]} x I={A.shape[1]} "
+        f"({jnp.asarray(A).dtype}) exceeds the single-chip budget "
+        f"({DENSE_TRANSFER_BUDGET_BYTES / 1e9:.1f} GB) in every layout — "
+        "even the streamed one needs three (U, I)-class arrays resident. "
+        "Run on a mesh (parallel.sharding.sharded_diffusion_scores / "
+        "cli.find_lambda --mesh), or raise "
+        "ops.diffusion.DENSE_TRANSFER_BUDGET_BYTES if the chip's HBM "
+        "genuinely fits the footprint."
+    )
 
 
 @partial(jax.jit, static_argnames=("transpose_w",))

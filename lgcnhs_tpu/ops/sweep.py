@@ -194,6 +194,17 @@ def sharded_lambda_sweep(
             eval_present, S, k,
         )
 
+    if W_gen is None:
+        from lgcnhs_tpu.ops.diffusion import general_spreading_matrix
+
+        W_gen = general_spreading_matrix(A)
+    if S is None:
+        from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
+
+        S = similarity_matrix(
+            jnp.asarray(A, jnp.float32), jnp.sum(jnp.asarray(A, jnp.float32), axis=0)
+        )
+
     devices = mesh.devices.reshape(-1)
     n_dev = devices.size
     lambdas = jnp.asarray(lambdas, jnp.float32)
@@ -239,10 +250,19 @@ def item_sharded_lambda_sweep(
     metric kernels consume the item-sharded eval arrays. Per-device memory is
     O(U·I/n + I²/n) instead of O(U·I + I²).
 
+    ``W_gen`` and/or ``S`` may be ``None``: they are then built HERE, as
+    collective Gram matmuls over the already-item-sharded A, never dense on
+    one device — at catalogs over the replication budget, a host-built
+    (I, I) W_gen/S would OOM before this sweep could shard anything (the
+    regime this layout exists for). The sharded builds mirror
+    ``ops.diffusion.general_spreading_matrix`` / ``metrics_ops.
+    similarity_matrix`` exactly (same clamps, precision, element types).
+
     The item axis is padded to divide the model axis; padded columns carry
     A=0 (so item degrees and W rows/cols are unchanged), seen=True and
     G=-inf (ranked strictly last, never emitted), eval_pos=False and S=0
-    (inert in every metric)."""
+    (inert in every metric — a padded zero A column yields zero W_gen/S
+    rows+columns, exactly the pad values)."""
     from jax.sharding import NamedSharding
 
     from lgcnhs_tpu.parallel.sharding import _distributed_rank_core, _pad_len
@@ -259,16 +279,46 @@ def item_sharded_lambda_sweep(
         A = jnp.pad(A, pc)
         seen = jnp.pad(seen, pc, constant_values=True)
         eval_pos = jnp.pad(eval_pos, pc)
-        W_gen = jnp.pad(W_gen, ((0, I_pad - I), (0, I_pad - I)))
-        S = jnp.pad(S, ((0, I_pad - I), (0, I_pad - I)))
+        if W_gen is not None:
+            W_gen = jnp.pad(W_gen, ((0, I_pad - I), (0, I_pad - I)))
+        if S is not None:
+            S = jnp.pad(S, ((0, I_pad - I), (0, I_pad - I)))
 
     item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
     G = jax.device_put(G, item_cols)
     A = jax.device_put(A, item_cols)
     seen = jax.device_put(seen, item_cols)
     eval_pos = jax.device_put(eval_pos, item_cols)
-    W_gen = jax.device_put(W_gen, item_cols)
-    S = jax.device_put(S, item_cols)
+
+    hi = jax.lax.Precision.HIGHEST
+    if W_gen is None:
+        # (An^T A) with A item-sharded: GSPMD collective matmul, output
+        # column-sharded — identical math to general_spreading_matrix
+        @partial(jax.jit, out_shardings=item_cols)
+        def _wgen_sharded(A):
+            k_user = jnp.sum(A, axis=1)
+            An = A / jnp.where(k_user == 0, 1.0, k_user)[:, None]
+            return jnp.dot(An.T, A, precision=hi, preferred_element_type=A.dtype)
+
+        W_gen = _wgen_sharded(A)
+    else:
+        W_gen = jax.device_put(W_gen, item_cols)
+    if S is None:
+        # metrics_ops.similarity_matrix over the sharded interaction matrix
+        # (A IS the train+val 0/1 interaction the drivers pass as both)
+        @partial(jax.jit, out_shardings=item_cols)
+        def _sim_sharded(A):
+            inter = A.astype(jnp.float32)
+            cooc = jnp.dot(
+                inter.T, inter, precision=hi, preferred_element_type=jnp.float32
+            )
+            deg = jnp.sum(inter, axis=0)
+            inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+            return cooc * inv_sqrt[:, None] * inv_sqrt[None, :]
+
+        S = _sim_sharded(A)
+    else:
+        S = jax.device_put(S, item_cols)
 
     block = I_pad // n_shards
 

@@ -88,7 +88,9 @@ def test_fused_recommend_tall_dispatch_same_lists(setup, monkeypatch):
     A, seen = A[:U], seen[:U]
     lam = jnp.float32(0.6)
     dense = np.asarray(fused_recommend(params, A, seen, lam, k=5))
-    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 1)
+    # budget excludes the dense live set (2 I^2 + 3 U I) but fits the
+    # factored one (U^2 + 3 U I) at this 30 x ~70 f32 slice
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 30_000)
     assert diff.choose_diffusion(U, graph.n_items) == "factored"
     # the dispatch happens at trace time — force a retrace
     fused_recommend.clear_cache()

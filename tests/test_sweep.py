@@ -113,7 +113,9 @@ def test_find_lambda_cli_tall_dispatch(tmp_path, monkeypatch):
     import lgcnhs_tpu.cli.find_lambda as fl
     from lgcnhs_tpu.ops import sweep as sweep_mod
 
-    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 1)
+    # forbids dense (2 I^2 + 3 U I ~ 64 kB at 30 x 70 f32) but fits the
+    # factored live set (U^2 + 3 U I ~ 29 kB) -> "factored" regime
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 30_000)
     calls = []
     real = sweep_mod.lambda_sweep_metrics_tall
 
@@ -211,6 +213,25 @@ def test_item_sharded_sweep_matches_single_device(setup):
     lambdas = np.asarray([0.0, 0.3, 0.85, 1.0], np.float32)
     mesh = make_mesh((2, 4))
     got = np.asarray(item_sharded_lambda_sweep(mesh, lambdas, *args, k=cfg.k))
+    want = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_item_sharded_sweep_builds_wgen_and_s_sharded(setup):
+    """With W_gen=None and S=None the item-sharded sweep builds both as
+    collective Grams over the sharded A (never dense on one device — the
+    round-3 advisor's OOM-before-sharding path) and the rows still match the
+    single-device sweep built from host-dense W_gen/S."""
+    from lgcnhs_tpu.ops.sweep import item_sharded_lambda_sweep
+
+    cfg, _, _, args = setup
+    G, A, _W_gen, seen, eval_pos, eval_counts, eval_present, _S = args
+    lambdas = np.asarray([0.0, 0.6, 1.0], np.float32)
+    mesh = make_mesh((2, 4))
+    got = np.asarray(item_sharded_lambda_sweep(
+        mesh, lambdas, G, A, None, seen, eval_pos, eval_counts,
+        eval_present, None, k=cfg.k,
+    ))
     want = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
