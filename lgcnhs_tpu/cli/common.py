@@ -192,9 +192,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return cfg
 
 
-def load_pipeline(cfg: Config) -> Tuple[InteractionGraph, np.ndarray, np.ndarray]:
-    """Dataset -> graph arrays + features, with shape logging
-    (reference ``main.py:47-58``)."""
+def load_pipeline(cfg: Config):
+    """Dataset -> (graph arrays, features, splits), with shape logging
+    (reference ``main.py:47-58``). ``splits`` carries the raw<->internal id
+    mappings (``handleRating``'s uid_mapping/iid_mapping,
+    ``processing/handleData.py:70-77``) for external-id decode."""
     log = get_logger("lgcnhs", cfg.log_path)
     splits, user_features, item_features = load_dataset(cfg)
     graph = build_graph(splits)
@@ -208,4 +210,4 @@ def load_pipeline(cfg: Config) -> Tuple[InteractionGraph, np.ndarray, np.ndarray
         user_features.shape,
         item_features.shape,
     )
-    return graph, user_features, item_features
+    return graph, user_features, item_features, splits

@@ -33,7 +33,7 @@ def main(argv=None) -> dict:
     cfg = config_from_args(args)
     log = get_logger("lgcnhs", cfg.log_path)
 
-    graph, _, _ = load_pipeline(cfg)
+    graph, _, _, _ = load_pipeline(cfg)
     cache = ArtifactCache(cfg.recommend_path)
 
     # k-independent: built once for all k (the redundancy the module

@@ -42,7 +42,7 @@ def main(argv=None) -> pd.DataFrame:
     cfg = config_from_args(args)
     log = get_logger("lgcnhs", cfg.log_path)
 
-    graph, user_features, item_features = load_pipeline(cfg)
+    graph, user_features, item_features, splits = load_pipeline(cfg)
     ctx = EvalContext.build(
         graph.n_users, graph.n_items, graph.test, graph.train, graph.val
     )

@@ -26,10 +26,18 @@ def main(argv=None) -> dict:
     parser = base_parser(__doc__)
     parser.add_argument(
         "--target-user",
+        default=None,
+        help="also print this user's recommendation list, by RAW dataset id "
+        "— a Douban nickname-md5 or a raw MovieLens id — decoded through "
+        "the stored id mappings (the reference configures target_user as a "
+        "raw md5, const.py:244; handleRating's uid_mapping, "
+        "processing/handleData.py:70-77)",
+    )
+    parser.add_argument(
+        "--target-user-internal",
         type=int,
         default=None,
-        help="also print this (internal) user's recommendation list "
-        "(douban config's target_user concept, const.py:244)",
+        help="like --target-user but takes the INTERNAL dense index directly",
     )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
@@ -42,7 +50,7 @@ def main(argv=None) -> dict:
 def _run(args, cfg, log) -> dict:
 
     log.info("Step1: loading preprocessed data")
-    graph, user_features, item_features = load_pipeline(cfg)
+    graph, user_features, item_features, splits = load_pipeline(cfg)
 
     log.info("Step2: computing recommendations with model %s", cfg.model)
     cache = ArtifactCache(cfg.recommend_path, enabled=not args.no_cache)
@@ -66,12 +74,37 @@ def _run(args, cfg, log) -> dict:
         "[%s Test Diversity] H@%d: %s, I@%d: %s",
         cfg.model, cfg.k, metrics["H"], cfg.k, metrics["I"],
     )
-    if args.target_user is not None and 0 <= args.target_user < graph.n_users:
-        log.info(
-            "recommendations for user %d: %s",
-            args.target_user,
-            rec[args.target_user].tolist(),
-        )
+    if args.target_user is not None or args.target_user_internal is not None:
+        from lgcnhs_tpu.data.idmap import IdMapper
+
+        mapper = IdMapper.from_splits(splits)
+        if args.target_user_internal is not None:
+            internal = args.target_user_internal
+        else:
+            # raw id lookup: exact key first (douban md5 strings), then the
+            # int form (MovieLens raw ids round-trip through argv as str)
+            internal = mapper.uid_to_internal.get(args.target_user)
+            if internal is None:
+                try:
+                    internal = mapper.uid_to_internal.get(int(args.target_user))
+                except ValueError:
+                    internal = None
+        if internal is None or not 0 <= int(internal) < graph.n_users:
+            log.warning(
+                "target user %r not found in the id mapping (%d users)",
+                args.target_user
+                if args.target_user is not None
+                else args.target_user_internal,
+                graph.n_users,
+            )
+        else:
+            internal = int(internal)
+            raw_items = [mapper.internal_to_iid[i] for i in rec[internal]]
+            log.info(
+                "recommendations for user %s (internal %d): internal %s, raw %s",
+                mapper.internal_to_uid[internal], internal,
+                rec[internal].tolist(), raw_items,
+            )
     print(json.dumps({"model": cfg.model, "k": cfg.k, **metrics}))
     return metrics
 

@@ -102,7 +102,7 @@ def main(argv=None) -> dict:
         return {"reference": False}
 
     try:
-        graph, _, _ = load_pipeline(cfg)
+        graph, _, _, _ = load_pipeline(cfg)
         ctx = EvalContext.build(
             graph.n_users, graph.n_items, graph.test, graph.train, graph.val
         )

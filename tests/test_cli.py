@@ -117,3 +117,37 @@ def test_xlsx_nonfinite_cells_are_inline_strings(tmp_path):
     assert kinds == ["inlineStr", None, "inlineStr", "inlineStr", None]
     numeric = [c.find(f"{ns}v").text for c in cells if c.get("t") is None]
     assert [float(v) for v in numeric] == [1.5, 2.0]
+
+
+def test_main_target_user_raw_id_decode(tmp_path):
+    """--target-user takes a RAW dataset id routed through data/idmap.IdMapper
+    (the reference's target_user is a raw md5, const.py:244): the log line
+    carries both the raw and internal ids plus the raw-decoded item list."""
+    import logging
+
+    messages = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            messages.append(record.getMessage())
+
+    handler = _Capture()  # the lgcnhs logger has propagate=False; attach
+    logging.getLogger("lgcnhs").addHandler(handler)
+    try:
+        main_cli.main(
+            SMALL + ["--model", "HybridS", "--workdir", str(tmp_path),
+                     "--target-user", "3"]  # raw 1-based ml-100k-style id
+        )
+        lines = [m for m in messages if "recommendations for user" in m]
+        assert lines, "target-user line not logged"
+        assert "user 3 (internal" in lines[0]
+
+        # unknown raw id warns instead of crashing or mis-indexing
+        messages.clear()
+        main_cli.main(
+            SMALL + ["--model", "HybridS", "--workdir", str(tmp_path),
+                     "--target-user", "no-such-md5"]
+        )
+        assert any("not found in the id mapping" in m for m in messages)
+    finally:
+        logging.getLogger("lgcnhs").removeHandler(handler)
