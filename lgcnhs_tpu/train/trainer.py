@@ -647,16 +647,35 @@ def train_lightgcn(
     if checkpoint_dir:
         from lgcnhs_tpu.train.checkpoint import restore_train_state
 
+        template_params, template_opt = params, opt_state
         restored = restore_train_state(checkpoint_dir, params, opt_state)
         if restored is not None:
             start_epoch, params, opt_state = restored
             params = LightGCNParams(*params)
-            if mesh is not None and propagation == "coo":
-                # orbax restores scalar leaves (e.g. Adam's count) onto one
-                # device; re-pin the whole state to the replicated sharding
-                # the edge-sharded step compiles against
-                params = jax.device_put(params, plan.replicated)
-                opt_state = jax.device_put(opt_state, plan.replicated)
+            if mesh is not None:
+                # orbax restores every leaf COMMITTED to one device; under a
+                # mesh the jitted step needs mesh placements (row-sharded
+                # tables for dense, replicated for edge-sharded COO). Re-pin
+                # each restored leaf to its template's mesh sharding; leaves
+                # whose template is not mesh-placed (e.g. Adam's scalar
+                # count, which optimizer.init leaves uncommitted on one
+                # device) become mesh-replicated. Exposed by
+                # test_resume_sharded_dense_path (round-3 verdict item 6).
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                def repin(tpl, arr):
+                    s = getattr(tpl, "sharding", None)
+                    if not (
+                        isinstance(s, NamedSharding)
+                        and s.mesh.devices.size == mesh.devices.size
+                    ):
+                        s = NamedSharding(
+                            mesh, PartitionSpec(*(None,) * getattr(tpl, "ndim", 0))
+                        )
+                    return jax.device_put(arr, s)
+
+                params = jax.tree.map(repin, template_params, params)
+                opt_state = jax.tree.map(repin, template_opt, opt_state)
             start_epoch += 1
             log.info("resumed from checkpoint at epoch %d", start_epoch - 1)
 
