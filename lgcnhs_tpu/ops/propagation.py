@@ -215,11 +215,13 @@ class BucketedSide(NamedTuple):
     TPU profile at E=2M, D=64 (one v5e chip): a same-volume gather+reduce
     runs 6.5 ms but ``segment_sum`` costs 22 ms sorted / 35 ms unsorted —
     the scatter-add is the COO path's real bottleneck, not the gather. This
-    layout removes scatters entirely: nodes are grouped by
-    next-power-of-two degree; each bucket stores a padded (Nb, Pb) neighbor
-    matrix + weight matrix, aggregation is gather + dense masked sum over
-    the pad axis, and results are reassembled by ONE inverse-permutation
-    gather (zero-degree nodes read an appended zeros row).
+    layout removes scatters entirely: nodes are grouped by quantized degree
+    (``_bucket_caps``: multiples of 8, then 1/8-octave steps — pad ratio
+    <= ~1.13 vs 1.51 for the round-3 power-of-two rule); each bucket stores
+    a padded (Nb, Pb) neighbor matrix + weight matrix, aggregation is
+    gather + dense masked sum over the pad axis, and results are
+    reassembled by ONE inverse-permutation gather (zero-degree nodes read
+    an appended zeros row).
     """
 
     nbr: tuple  # per bucket: (Nb, Pb) int32 neighbor ids (0-padded)
@@ -230,6 +232,25 @@ class BucketedSide(NamedTuple):
 class BucketedIncidence(NamedTuple):
     users: BucketedSide  # aggregates item vectors INTO users
     items: BucketedSide  # aggregates user vectors INTO items
+
+
+def _bucket_caps(deg: np.ndarray, min_cap: int, quantum: int = 8) -> np.ndarray:
+    """Per-node ELL row capacity: the round-3 power-of-two rule padded the
+    bench graph's Poisson(40) degrees to cap 64 — a measured 1.51x gather
+    volume (and the aggregation is gather-ISSUE-bound on TPU, so padded
+    slots cost exactly like real ones; see docs/PERF.md COO roofline).
+    Tighter rule: multiples of ``quantum`` up to 16*quantum (<=16 linear
+    buckets), then 1/8-octave geometric steps (pad <= 1.125 per row, bucket
+    count O(8 log2(max_deg)) so heavy-tailed real graphs don't explode the
+    op count). Measured 1.36x on the 50k x 30k / 2M-edge train step."""
+    deg = deg.astype(np.int64)
+    caps = np.maximum(min_cap, -(-deg // quantum) * quantum)
+    big = deg > 16 * quantum
+    if big.any():
+        e = np.floor(np.log2(deg[big])).astype(np.int64)
+        step = np.maximum(1, (1 << e) // 8)  # 8 sub-steps per octave
+        caps[big] = -(-deg[big] // step) * step
+    return caps
 
 
 def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
@@ -248,9 +269,7 @@ def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
     inv = np.full(n_out, -1, np.int64)
     row_base = 0
     if present.size:
-        caps = np.maximum(
-            min_cap, 1 << np.ceil(np.log2(deg[present])).astype(np.int64)
-        )
+        caps = _bucket_caps(deg[present], min_cap)
         for cap in np.unique(caps):
             sel = present[caps == cap]
             base = rowptr[sel]
@@ -276,8 +295,8 @@ def build_bucketed_incidence(
     min_cap: int = 4,
 ) -> BucketedIncidence:
     """Host-side (numpy) one-time build of both aggregation directions.
-    Padding overhead is bounded by max(min_cap * nodes, 2E) entries per
-    side (power-of-two caps)."""
+    Padding overhead is bounded by ~1.13x the edges plus min_cap per
+    low-degree node (``_bucket_caps`` quantized-cap rule)."""
     return BucketedIncidence(
         users=_bucketize_side(edge_users, edge_items, edge_norm, n_users, min_cap),
         items=_bucketize_side(edge_items, edge_users, edge_norm, n_items, min_cap),

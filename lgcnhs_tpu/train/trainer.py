@@ -145,10 +145,18 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
 def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str:
     """"dense" vs "coo" forward path. Dense (MXU matmul on the full R_hat)
     wins whenever the incidence fits — the MXU eats the zeros for free at
-    recsys densities. COO (segment-sum) is the memory-scalable path: chosen
-    when the dense incidence would exceed ~4 GB or the graph is extremely
-    sparse (density below ``compute.dense_threshold``)."""
-    dense_bytes = 4.0 * n_users * n_items
+    recsys densities. COO (bucketed gather) is the memory-scalable path:
+    chosen when the dense incidence would exceed ~4 GB or the graph is
+    extremely sparse (density below ``compute.dense_threshold``).
+
+    The incidence is stored at 2 bytes/entry under mixed precision
+    (``compute.dtype == "bfloat16"``), so the dense regime reaches 2x the
+    catalog area there — measured on-chip at 50k x 30k / 2M edges (v5e):
+    dense-bf16 fwd+bwd 54 ms/step vs 71 ms for the (exact-f32) bucketed
+    layout, while the f32 dense incidence (6 GB) wouldn't fit the budget
+    at all (docs/PERF.md, COO roofline section)."""
+    entry_bytes = 2.0 if getattr(compute, "dtype", "") == "bfloat16" else 4.0
+    dense_bytes = entry_bytes * n_users * n_items
     density = n_edges / max(1.0, float(n_users) * n_items)
     if dense_bytes > 4e9 or density < compute.dense_threshold:
         return "coo"

@@ -165,3 +165,57 @@ def test_zero_degree_nodes_stay_finite():
     assert np.isfinite(np.asarray(i)).all()
     # isolated nodes keep only their layer-0 term in the layer mean
     np.testing.assert_allclose(np.asarray(u)[U - 1], user_emb[U - 1] / (K + 1), rtol=1e-5)
+
+
+def test_bucket_caps_pad_ratio_and_count():
+    """The quantized-cap rule (_bucket_caps): pad ratio <= ~1.13 over any
+    degree distribution and bucket count bounded even for heavy tails (the
+    round-3 power-of-two rule padded Poisson(40) degrees 1.51x, and the
+    aggregation is gather-issue-bound so padding costs linearly)."""
+    from lgcnhs_tpu.ops.propagation import _bucket_caps
+
+    rng = np.random.default_rng(0)
+    for deg in (
+        rng.poisson(40, 50_000) + 1,
+        rng.poisson(67, 30_000) + 1,
+        (rng.pareto(1.2, 20_000) * 5 + 1).astype(np.int64),  # heavy tail
+        np.arange(1, 3000),
+    ):
+        caps = _bucket_caps(deg, min_cap=4)
+        assert (caps >= deg).all()
+        pad = caps.sum() / deg.sum()
+        assert pad <= 1.25, pad  # min_cap floor dominates tiny degrees
+        big = deg > 128
+        if big.any():  # geometric region: per-row pad <= 1.125
+            assert (caps[big] / deg[big] <= 1.125 + 1e-9).all()
+        assert len(np.unique(caps)) <= 16 + 8 * int(np.ceil(np.log2(max(deg.max(), 2)))), (
+            len(np.unique(caps))
+        )
+
+
+def test_bucketed_matches_after_cap_rule_change():
+    """Aggregation over the tight-cap layout == plain segment-sum COO (the
+    cap rule only changes padding, never values)."""
+    from lgcnhs_tpu.ops.propagation import (
+        build_bucketed_incidence,
+        edge_gcn_norm,
+        lightgcn_propagate_bucketed,
+        lightgcn_propagate_coo,
+    )
+
+    import jax.numpy as jnp
+
+    U, I, E, D = 60, 45, 700, 8
+    rng = np.random.default_rng(3)
+    eu = rng.integers(0, U, E).astype(np.int32)
+    ei = rng.integers(0, I, E).astype(np.int32)
+    norm = edge_gcn_norm(jnp.asarray(eu), jnp.asarray(ei), U, I)
+    binc = build_bucketed_incidence(eu, ei, np.asarray(norm), U, I)
+    xu = jnp.asarray(rng.standard_normal((U, D)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((I, D)).astype(np.float32))
+    got_u, got_i = lightgcn_propagate_bucketed(xu, xi, binc, 3)
+    want_u, want_i = lightgcn_propagate_coo(
+        xu, xi, jnp.asarray(eu), jnp.asarray(ei), norm, U, I, 3
+    )
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i), rtol=2e-5, atol=2e-6)

@@ -19,6 +19,12 @@ def test_choose_propagation():
     assert choose_propagation(200_000, 100_000, 5_000_000, compute) == "coo"
     # hyper-sparse -> coo
     assert choose_propagation(10_000, 10_000, 500, compute) == "coo"
+    # mixed precision stores the incidence at 2 bytes/entry: the dense
+    # regime reaches 2x the catalog area (50k x 30k = 6 GB f32 / 3 GB bf16)
+    assert choose_propagation(50_000, 30_000, 2_000_000, compute) == "coo"
+    bf16 = dataclasses.replace(compute, dtype="bfloat16")
+    assert choose_propagation(50_000, 30_000, 2_000_000, bf16) == "dense"
+    assert choose_propagation(200_000, 100_000, 5_000_000, bf16) == "coo"
 
 
 def test_coo_training_path_runs_and_learns():
