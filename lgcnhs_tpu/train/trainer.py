@@ -142,6 +142,15 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
     )
 
 
+#: HBM budget for a dense (U, I) incidence / f32 eval-array set; the same
+#: 4 GB bound choose_diffusion mirrors. Tests shrink it to pin dispatch.
+DENSIFY_BUDGET_BYTES = 4e9
+#: above this f32-incidence size the bf16-dense rung builds R_hat on device
+#: from the int8 pattern instead of a host normalized_bipartite (which would
+#: materialize (U, I) f64/f32 host intermediates).
+HOST_INCIDENCE_BUILD_BYTES = 2e9
+
+
 def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str:
     """"dense" vs "coo" forward path. Dense (MXU matmul on the full R_hat)
     wins whenever the incidence fits — the MXU eats the zeros for free at
@@ -158,7 +167,7 @@ def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str
     entry_bytes = 2.0 if getattr(compute, "dtype", "") == "bfloat16" else 4.0
     dense_bytes = entry_bytes * n_users * n_items
     density = n_edges / max(1.0, float(n_users) * n_items)
-    if dense_bytes > 4e9 or density < compute.dense_threshold:
+    if dense_bytes > DENSIFY_BUDGET_BYTES or density < compute.dense_threshold:
         return "coo"
     return "dense"
 
@@ -490,6 +499,31 @@ def train_lightgcn(
             # exact (see lightgcn_propagate_pallas_binary)
             R8, du_inv, di_inv = binary_incidence_factors(U, I, graph.train)
             R_hat = (jnp.asarray(R8), jnp.asarray(du_inv), jnp.asarray(di_inv))
+        elif _bf16 and 4.0 * U * I > HOST_INCIDENCE_BUILD_BYTES:
+            # the dtype-aware dense regime's BIG half (f32 incidence over
+            # ~2 GB, bf16 under the densify budget): build the int8 pattern
+            # host-side (1 byte/entry) and the bf16 incidence ON DEVICE —
+            # normalized_bipartite would materialize (U, I) f64/f32 host
+            # intermediates (12 GB at the 50k x 30k rung docs/PERF.md
+            # measures at 20.3k examples/s)
+            eu_np = np.asarray(graph.train.users)
+            ei_np = np.asarray(graph.train.items)
+            R8_np = np.zeros((U, I), np.int8)
+            R8_np[eu_np, ei_np] = 1
+            du = R8_np.sum(axis=1, dtype=np.int64)
+            di = R8_np.sum(axis=0, dtype=np.int64)
+            dui = jnp.asarray(
+                np.where(du > 0, 1.0 / np.sqrt(du), 0.0).astype(np.float32)
+            )
+            dii = jnp.asarray(
+                np.where(di > 0, 1.0 / np.sqrt(di), 0.0).astype(np.float32)
+            )
+            R_hat = jax.jit(
+                lambda r, a, b: (
+                    a[:, None] * r.astype(jnp.bfloat16) * b[None, :]
+                ).astype(jnp.bfloat16)
+            )(jnp.asarray(R8_np), dui, dii)
+            del R8_np
         else:
             # In the mixed-precision path the matmul input R_hat is cast ONCE
             # here, not inside the jitted step (45 MB -> 22 MB copy per step
@@ -520,7 +554,12 @@ def train_lightgcn(
         def finalize(params):
             return LightGCNParams(*jax.tree.map(jax.device_get, params))
 
-        if propagation == "dense":
+        # Eval layout is chosen SEPARATELY from train propagation: the
+        # bf16-dense rung trains on a 2-byte incidence at catalogs whose
+        # f32 (U, I) eval arrays (val adjacency, interaction, masks) would
+        # not fit — those evals run on the CSR machinery instead.
+        eval_dense = 4.0 * U * I <= DENSIFY_BUDGET_BYTES
+        if propagation == "dense" and eval_dense:
             R_hat_val = jnp.asarray(
                 normalized_bipartite(U, I, graph.val, dtype=dtype), dtype
             )
@@ -557,7 +596,10 @@ def train_lightgcn(
             # against CSR edge structures (ops/scalable.py); retrieval is
             # chunked over users.
             from lgcnhs_tpu.ops import scalable
-            from lgcnhs_tpu.ops.propagation import lightgcn_propagate_coo
+            from lgcnhs_tpu.ops.propagation import (
+                edge_gcn_norm,
+                lightgcn_propagate_coo,
+            )
 
             edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
             rowptr_np, cols_np = scalable.user_csr(U, graph.train)
@@ -627,7 +669,19 @@ def train_lightgcn(
                 )
                 return p, r, n, h, i
 
-            if mesh is not None:
+            if propagation == "dense":
+                # the bf16-dense rung: dense (2-byte) TRAIN step with the
+                # CSR eval above — measured 20.3k examples/s at 50k x 30k
+                # (docs/PERF.md, "bf16-dense middle rung")
+                train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
+                train_step = make_train_step(
+                    optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+                )
+                train_scan = make_train_scan(
+                    optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+                )
+                step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
+            elif mesh is not None:
                 from lgcnhs_tpu.parallel.sharding import (
                     make_sharded_coo_train_scan,
                     make_sharded_coo_train_step,

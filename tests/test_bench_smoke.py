@@ -27,8 +27,10 @@ def test_bench_train_runs_tiny(monkeypatch):
 
 def test_bench_serving_and_reference_rows_run_tiny(monkeypatch):
     cfg, hp, graph, _prov = _tiny(monkeypatch)
-    assert bench.bench_retrieval(graph, k=bench.K, reps=2) > 0
-    assert bench.bench_serve_fused(graph, cfg.hparams.lambda_, k=20, reps=2) > 0
+    qps, qps_steady = bench.bench_retrieval(graph, k=bench.K, reps=2)
+    assert qps > 0 and qps_steady > 0
+    sq, sq_steady = bench.bench_serve_fused(graph, cfg.hparams.lambda_, k=20, reps=2)
+    assert sq > 0 and sq_steady > 0
     assert bench.STATS[f"retrieval_k{bench.K}"]["n"] >= 5  # variance floor
     assert "serve_fused_k20" in bench.STATS
 

@@ -44,3 +44,44 @@ def test_coo_training_path_runs_and_learns():
     losses = result.history["train_loss"]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_bf16_dense_rung_trains_with_csr_eval(monkeypatch):
+    """The bf16-dense middle rung (propagation 'dense' under a shrunken
+    budget where the f32 eval arrays do NOT fit): dense train step + CSR
+    eval machinery, device-built incidence. History must be finite and the
+    final params must track a plain dense-bf16 run closely (same sampler
+    stream; only the R_hat build differs at bf16 resolution)."""
+    import lgcnhs_tpu.train.trainer as trainer_mod
+
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    df = synthesize_movielens_like(50, 80, 1600, seed=21)
+    splits = prepare_ratings(df, cfg)
+    graph = build_graph(splits)
+    U, I = graph.n_users, graph.n_items
+
+    hp = dataclasses.replace(
+        cfg.hparams, epochs=8, epoch_per_eval=4, batch_size=64
+    )
+    bf16 = dataclasses.replace(cfg.compute, dtype="bfloat16")
+    cfg_bf16 = cfg.replace(hparams=hp, compute=bf16)
+
+    # plain dense-bf16 run (budget ample)
+    base = train_lightgcn(graph, cfg_bf16, save_artifacts=False)
+
+    # shrink the budget into the rung's window: bf16 incidence fits
+    # (2*U*I <= B), f32 eval arrays do not (4*U*I > B)
+    budget = 3.0 * U * I
+    monkeypatch.setattr(trainer_mod, "DENSIFY_BUDGET_BYTES", budget)
+    monkeypatch.setattr(trainer_mod, "HOST_INCIDENCE_BUILD_BYTES", 0.0)
+    assert choose_propagation(U, I, graph.train.n_edges, bf16) == "dense"
+    assert 4.0 * U * I > budget  # eval must take the CSR machinery
+
+    rung = train_lightgcn(graph, cfg_bf16, save_artifacts=False)
+    for k, vals in rung.history.items():
+        assert np.isfinite(np.asarray(vals, np.float64)).all(), k
+    # same triple stream, R_hat equal to bf16 resolution -> close params
+    np.testing.assert_allclose(
+        np.asarray(rung.params.user_emb), np.asarray(base.params.user_emb),
+        rtol=0.05, atol=5e-3,
+    )
