@@ -29,6 +29,7 @@ from lgcnhs_tpu.ops.sweep import (
     lambda_sweep_metrics,
     lambda_sweep_metrics_tall,
     sharded_lambda_sweep,
+    sharded_lambda_sweep_tall,
     sweep_rows,
 )
 from lgcnhs_tpu.runtime.logging import get_logger
@@ -62,18 +63,29 @@ def main(argv=None) -> pd.DataFrame:
     regime = choose_diffusion(
         graph.n_users, graph.n_items, np.dtype(A.dtype).itemsize
     )
-    if mesh is None and regime == "factored":
-        # tall catalog, single chip: neither (I, I) operand (W_gen, S) can
-        # exist — the W-free / S-free sweep flavor (ops/sweep.py)
+    if regime == "factored":
+        # tall catalog: neither (I, I) operand (W_gen, S) can exist — the
+        # W-free / S-free sweep flavor (ops/sweep.py); with a mesh the grid
+        # fans out one point per device, same kernel, still no (I, I)
+        # anywhere (strictly better than the item-sharded layout here)
         log.info(
             "lambda sweep: tall-catalog flavor (no (I, I) operand; "
-            "user-factored diffusion + direct Sorensen)"
+            "user-factored diffusion + direct Sorensen)%s",
+            "" if mesh is None else f", grid over {mesh.devices.size} devices",
         )
-        metrics = lambda_sweep_metrics_tall(
-            jnp.asarray(lambdas), G, A, seen,
+        tall_args = (
+            G, A, seen,
             jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
-            jnp.asarray(ctx.eval_present), jnp.asarray(ctx.item_deg), cfg.k,
+            jnp.asarray(ctx.eval_present), jnp.asarray(ctx.item_deg),
         )
+        if mesh is not None:
+            metrics = sharded_lambda_sweep_tall(
+                mesh, lambdas, *tall_args, k=cfg.k
+            )
+        else:
+            metrics = lambda_sweep_metrics_tall(
+                jnp.asarray(lambdas), *tall_args, cfg.k
+            )
     elif mesh is None and regime in ("blocked", "sharded"):
         # wide catalogs: the (U, U) factored intermediate is as impossible
         # as the (I, I) one; this regime needs the item-sharded mesh layout

@@ -230,6 +230,52 @@ def sharded_lambda_sweep(
     return out[:L]
 
 
+def sharded_lambda_sweep_tall(
+    mesh: Mesh,
+    lambdas,
+    G,
+    A,
+    seen,
+    eval_pos,
+    eval_counts,
+    eval_present,
+    item_deg,
+    k: int,
+) -> jnp.ndarray:
+    """Grid-parallel mesh sweep for TALL catalogs (``choose_diffusion`` ==
+    "factored"): the lambda grid shards over every device and each point
+    runs the W-free / S-free flavor (``lambda_sweep_metrics_tall``) locally
+    — NO (I, I) operand exists on ANY device, replicated or sharded. For
+    2U < I this strictly dominates ``item_sharded_lambda_sweep``, whose
+    layout still materializes I^2/n_dev-sized W_gen/S shards; the
+    replicated set here is only the (U, I)-class arrays, small in the tall
+    regime by definition. Rows match the single-device tall sweep exactly
+    (same kernel per point)."""
+    devices = mesh.devices.reshape(-1)
+    n_dev = devices.size
+    lambdas = jnp.asarray(lambdas, jnp.float32)
+    L = lambdas.shape[0]
+    pad = (-L) % n_dev
+    if pad:
+        lambdas = jnp.concatenate([lambdas, jnp.repeat(lambdas[-1:], pad)])
+    sweep_mesh = Mesh(devices, (SWEEP_AXIS,))
+
+    local = lambda lams, G, A, sn, ep, ec, pr, deg: lambda_sweep_metrics_tall(
+        lams, G, A, sn, ep, ec, pr, deg, k
+    )
+    run = jax.jit(
+        shard_map(
+            local,
+            mesh=sweep_mesh,
+            in_specs=(P(SWEEP_AXIS),) + (P(),) * 7,
+            out_specs=P(SWEEP_AXIS),
+            check_vma=False,
+        )
+    )
+    out = run(lambdas, G, A, seen, eval_pos, eval_counts, eval_present, item_deg)
+    return out[:L]
+
+
 def item_sharded_lambda_sweep(
     mesh: Mesh,
     lambdas,

@@ -262,3 +262,31 @@ def test_sharded_sweep_budget_guard_falls_back(setup, monkeypatch):
     assert called.get("yes"), "budget guard did not engage"
     want = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_tall_sweep_matches_single_device(setup):
+    """Mesh x tall composition: the grid-parallel W-free sweep (no (I, I)
+    operand on any device) == the single-device tall sweep == the dense
+    sweep rows."""
+    from lgcnhs_tpu.ops.sweep import (
+        lambda_sweep_metrics_tall,
+        sharded_lambda_sweep_tall,
+    )
+    from lgcnhs_tpu.eval.metrics import EvalContext
+
+    cfg, graph, ctx, args = setup
+    G, A, _W_gen, seen, eval_pos, eval_counts, eval_present, _S = args
+    item_deg = jnp.asarray(ctx.item_deg)
+    lambdas = np.asarray([0.0, 0.3, 0.6, 0.85, 1.0], np.float32)  # pads to 8
+    mesh = make_mesh((2, 4))
+    got = np.asarray(sharded_lambda_sweep_tall(
+        mesh, lambdas, G, A, seen, eval_pos, eval_counts, eval_present,
+        item_deg, k=cfg.k,
+    ))
+    want = np.asarray(lambda_sweep_metrics_tall(
+        jnp.asarray(lambdas), G, A, seen, eval_pos, eval_counts,
+        eval_present, item_deg, cfg.k,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    dense = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
+    np.testing.assert_allclose(got, dense, rtol=1e-4, atol=1e-5)
