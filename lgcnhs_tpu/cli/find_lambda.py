@@ -23,7 +23,11 @@ from lgcnhs_tpu.data.graph import interaction_matrix, pos_bool_matrix
 from lgcnhs_tpu.eval.metrics import EvalContext
 from lgcnhs_tpu.models.fusion import allocate_matrix
 from lgcnhs_tpu.models.recommenders import get_or_train_params
-from lgcnhs_tpu.ops.diffusion import choose_diffusion, general_spreading_matrix
+from lgcnhs_tpu.ops.diffusion import (
+    choose_diffusion,
+    factored_fits,
+    general_spreading_matrix,
+)
 from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
 from lgcnhs_tpu.ops.sweep import (
     lambda_sweep_metrics,
@@ -60,17 +64,24 @@ def main(argv=None) -> pd.DataFrame:
     lambdas = np.arange(0.0, 1.0 + args.step, args.step, dtype=np.float32)
     mesh = mesh_from_config(cfg.compute)
 
-    regime = choose_diffusion(
-        graph.n_users, graph.n_items, np.dtype(A.dtype).itemsize
+    itemsize = np.dtype(A.dtype).itemsize
+    regime = choose_diffusion(graph.n_users, graph.n_items, itemsize)
+    # The W-free flavor is exact algebra for ANY shape — choose_diffusion's
+    # 2U < I is only its FLOPs heuristic — so it also rescues non-dense
+    # regimes whose factored live set (U^2 + 3 U I) still fits one chip
+    # (e.g. U ~ I/2 catalogs that are over the dense budget).
+    tall_ok = regime == "factored" or (
+        regime in ("blocked", "sharded")
+        and factored_fits(graph.n_users, graph.n_items, itemsize)
     )
-    if regime == "factored":
+    if tall_ok and (mesh is None or regime == "factored"):
         # tall catalog: neither (I, I) operand (W_gen, S) can exist — the
         # W-free / S-free sweep flavor (ops/sweep.py); with a mesh the grid
         # fans out one point per device, same kernel, still no (I, I)
         # anywhere (strictly better than the item-sharded layout here)
         log.info(
-            "lambda sweep: tall-catalog flavor (no (I, I) operand; "
-            "user-factored diffusion + direct Sorensen)%s",
+            "lambda sweep: W-free flavor (no (I, I) operand; user-factored "
+            "diffusion + direct Sorensen)%s",
             "" if mesh is None else f", grid over {mesh.devices.size} devices",
         )
         tall_args = (
@@ -87,15 +98,16 @@ def main(argv=None) -> pd.DataFrame:
                 jnp.asarray(lambdas), *tall_args, cfg.k
             )
     elif mesh is None and regime in ("blocked", "sharded"):
-        # wide catalogs: the (U, U) factored intermediate is as impossible
-        # as the (I, I) one; this regime needs the item-sharded mesh layout
-        # (which builds W_gen and S as collective Grams, never dense on one
+        # wide catalogs where even the W-free factored live set
+        # (U^2 + 3 U I, checked above) is over budget: nothing single-chip
+        # fits — this regime needs the item-sharded mesh layout (which
+        # builds W_gen and S as collective Grams, never dense on one
         # device — see item_sharded_lambda_sweep)
         raise SystemExit(
             f"lambda sweep at U={graph.n_users} x I={graph.n_items} exceeds "
-            "a single device in every layout (both (I, I) and (U, U) "
-            "intermediates are over budget) — run with --mesh to use the "
-            "item-sharded sweep"
+            "a single device in every layout (the (I, I) operands and the "
+            "W-free flavor's (U, U) + (U, I) live set are all over budget) "
+            "— run with --mesh to use the item-sharded sweep"
         )
     elif mesh is not None:
         # W_gen and S are NOT built here: sharded_lambda_sweep builds them
@@ -111,6 +123,7 @@ def main(argv=None) -> pd.DataFrame:
             mesh, lambdas, G, A, None, seen,
             jnp.asarray(ctx.eval_pos), jnp.asarray(ctx.eval_counts),
             jnp.asarray(ctx.eval_present), None, k=cfg.k,
+            item_deg=jnp.asarray(ctx.item_deg),
         )
     else:
         # W_gen once (findLambda.py:81)

@@ -77,34 +77,57 @@ def _run(args, cfg, log) -> dict:
     if args.target_user is not None or args.target_user_internal is not None:
         from lgcnhs_tpu.data.idmap import IdMapper
 
-        mapper = IdMapper.from_splits(splits)
-        if args.target_user_internal is not None:
-            internal = args.target_user_internal
+        if not splits.uid_mapping:
+            # warm split caches written before id_mappings.npz existed have
+            # no raw<->internal maps (cli/retrieve.py guards identically);
+            # the internal flavor still works, raw-id decode cannot
+            if (
+                args.target_user_internal is not None
+                and 0 <= args.target_user_internal < graph.n_users
+            ):
+                log.info(
+                    "recommendations for internal user %d (no id mappings "
+                    "cached; re-run preprocessing with --no-cache for raw-id "
+                    "decode): %s",
+                    args.target_user_internal,
+                    rec[args.target_user_internal].tolist(),
+                )
+            else:
+                log.warning(
+                    "target user %r: no id mappings cached — re-run "
+                    "preprocessing with --no-cache, or use "
+                    "--target-user-internal",
+                    args.target_user,
+                )
         else:
-            # raw id lookup: exact key first (douban md5 strings), then the
-            # int form (MovieLens raw ids round-trip through argv as str)
-            internal = mapper.uid_to_internal.get(args.target_user)
-            if internal is None:
-                try:
-                    internal = mapper.uid_to_internal.get(int(args.target_user))
-                except ValueError:
-                    internal = None
-        if internal is None or not 0 <= int(internal) < graph.n_users:
-            log.warning(
-                "target user %r not found in the id mapping (%d users)",
-                args.target_user
-                if args.target_user is not None
-                else args.target_user_internal,
-                graph.n_users,
-            )
-        else:
-            internal = int(internal)
-            raw_items = [mapper.internal_to_iid[i] for i in rec[internal]]
-            log.info(
-                "recommendations for user %s (internal %d): internal %s, raw %s",
-                mapper.internal_to_uid[internal], internal,
-                rec[internal].tolist(), raw_items,
-            )
+            mapper = IdMapper.from_splits(splits)
+            if args.target_user_internal is not None:
+                internal = args.target_user_internal
+            else:
+                # raw id lookup: exact key first (douban md5 strings), then
+                # the int form (MovieLens raw ids round-trip argv as str)
+                internal = mapper.uid_to_internal.get(args.target_user)
+                if internal is None:
+                    try:
+                        internal = mapper.uid_to_internal.get(int(args.target_user))
+                    except ValueError:
+                        internal = None
+            if internal is None or not 0 <= int(internal) < graph.n_users:
+                log.warning(
+                    "target user %r not found in the id mapping (%d users)",
+                    args.target_user
+                    if args.target_user is not None
+                    else args.target_user_internal,
+                    graph.n_users,
+                )
+            else:
+                internal = int(internal)
+                raw_items = [mapper.internal_to_iid[i] for i in rec[internal]]
+                log.info(
+                    "recommendations for user %s (internal %d): internal %s, raw %s",
+                    mapper.internal_to_uid[internal], internal,
+                    rec[internal].tolist(), raw_items,
+                )
     print(json.dumps({"model": cfg.model, "k": cfg.k, **metrics}))
     return metrics
 

@@ -146,6 +146,31 @@ def binary_incidence_factors(
     return R.astype(np.int8), inv_su, inv_si
 
 
+def device_bf16_incidence(n_users: int, n_items: int, es: EdgeSet):
+    """R_hat as a DEVICE-built bf16 dense incidence from the int8 pattern:
+    1 host byte/entry and no (U, I) f64/f32 host intermediate (a host
+    ``normalized_bipartite`` would materialize 12 GB at the 50k x 30k rung
+    docs/PERF.md measures). Same binary-degree semantics as
+    ``normalized_bipartite`` (edge multiplicity collapses to 0/1). Shared by
+    the trainer's bf16-dense rung and bench.py so the two builds cannot
+    drift."""
+    import jax
+    import jax.numpy as jnp
+
+    R8 = np.zeros((n_users, n_items), np.int8)
+    R8[np.asarray(es.users), np.asarray(es.items)] = 1
+    du = R8.sum(axis=1, dtype=np.int64)
+    di = R8.sum(axis=0, dtype=np.int64)
+    dui = jnp.asarray(np.where(du > 0, 1.0 / np.sqrt(du), 0.0).astype(np.float32))
+    dii = jnp.asarray(np.where(di > 0, 1.0 / np.sqrt(di), 0.0).astype(np.float32))
+    build = jax.jit(
+        lambda r, a, b: (
+            a[:, None] * r.astype(jnp.bfloat16) * b[None, :]
+        ).astype(jnp.bfloat16)
+    )
+    return build(jnp.asarray(R8), dui, dii)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int) -> Tuple[np.ndarray, int]:
     """Pad an axis up to a multiple (TPU tiling wants 128-aligned lanes)."""
     size = x.shape[axis]

@@ -204,14 +204,33 @@ def choose_diffusion(
         budget_bytes = DENSE_TRANSFER_BUDGET_BYTES
     ui = n_users * n_items * itemsize
     ii = n_items * n_items * itemsize
-    uu = n_users * n_users * itemsize
     if 2 * ii + 3 * ui <= budget_bytes:
         return "dense"
-    if 2 * n_users < n_items and uu + 3 * ui <= budget_bytes:
+    if 2 * n_users < n_items and factored_fits(
+        n_users, n_items, itemsize, budget_bytes
+    ):
         return "factored"
     if 3 * ui <= budget_bytes:
         return "blocked"
     return "sharded"
+
+
+def factored_fits(
+    n_users: int,
+    n_items: int,
+    itemsize: int = 4,
+    budget_bytes: int | None = None,
+) -> bool:
+    """True when the W-free factored path's live set (the (U, U) product +
+    ~3 (U, I)-class arrays) fits the budget. This is the MEMORY gate alone:
+    the algorithm is exact for ANY shape (``user_factored_diffusion_scores``
+    is algebra, not approximation) — ``choose_diffusion`` additionally
+    applies the 2U < I FLOPs heuristic, but callers that have no other
+    single-chip option (e.g. the tall lambda sweep on wide-ish catalogs)
+    may run it whenever this gate passes."""
+    if budget_bytes is None:
+        budget_bytes = DENSE_TRANSFER_BUDGET_BYTES
+    return (n_users * n_users + 3 * n_users * n_items) * itemsize <= budget_bytes
 
 
 def diffusion_scores_auto(

@@ -171,6 +171,7 @@ def sharded_lambda_sweep(
     S,
     k: int,
     memory_budget_bytes: int = SWEEP_REPLICATION_BUDGET_BYTES,
+    item_deg=None,
 ) -> jnp.ndarray:
     """(L, 5) metrics for the grid on a mesh, by one of two layouts:
 
@@ -191,7 +192,7 @@ def sharded_lambda_sweep(
     ) > memory_budget_bytes:
         return item_sharded_lambda_sweep(
             mesh, lambdas, G, A, W_gen, seen, eval_pos, eval_counts,
-            eval_present, S, k,
+            eval_present, S, k, item_deg=item_deg,
         )
 
     if W_gen is None:
@@ -201,9 +202,13 @@ def sharded_lambda_sweep(
     if S is None:
         from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
 
-        S = similarity_matrix(
-            jnp.asarray(A, jnp.float32), jnp.sum(jnp.asarray(A, jnp.float32), axis=0)
-        )
+        # item_deg MUST be the reference's duplicate-counting degree vector
+        # (eval.metrics.EvalContext.item_deg) when the caller has one — a
+        # column sum of the 0/1 A undercounts duplicated rating rows and
+        # shifts the I@k column vs the single-device sweep
+        if item_deg is None:
+            item_deg = jnp.sum(jnp.asarray(A, jnp.float32), axis=0)
+        S = similarity_matrix(jnp.asarray(A, jnp.float32), jnp.asarray(item_deg))
 
     devices = mesh.devices.reshape(-1)
     n_dev = devices.size
@@ -288,6 +293,7 @@ def item_sharded_lambda_sweep(
     eval_present,
     S,
     k: int,
+    item_deg=None,
 ) -> jnp.ndarray:
     """Catalog-sharded sweep: every (U, I)/(I, I) operand column-sharded over
     the model axis, one grid point at a time. The diffusion matmul A·W runs
@@ -351,18 +357,27 @@ def item_sharded_lambda_sweep(
         W_gen = jax.device_put(W_gen, item_cols)
     if S is None:
         # metrics_ops.similarity_matrix over the sharded interaction matrix
-        # (A IS the train+val 0/1 interaction the drivers pass as both)
+        # (A IS the train+val 0/1 interaction the drivers pass as both).
+        # Degrees come from the caller's duplicate-counting item_deg when
+        # given (reference parity: EvalContext.item_deg counts dict-list
+        # entries, a colsum of 0/1 A undercounts duplicated rating rows).
+        if item_deg is None:
+            deg_pad = jnp.sum(A.astype(jnp.float32), axis=0)
+        else:
+            deg_pad = jnp.pad(
+                jnp.asarray(item_deg, jnp.float32), (0, I_pad - I)
+            )
+
         @partial(jax.jit, out_shardings=item_cols)
-        def _sim_sharded(A):
+        def _sim_sharded(A, deg):
             inter = A.astype(jnp.float32)
             cooc = jnp.dot(
                 inter.T, inter, precision=hi, preferred_element_type=jnp.float32
             )
-            deg = jnp.sum(inter, axis=0)
             inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
             return cooc * inv_sqrt[:, None] * inv_sqrt[None, :]
 
-        S = _sim_sharded(A)
+        S = _sim_sharded(A, deg_pad)
     else:
         S = jax.device_put(S, item_cols)
 

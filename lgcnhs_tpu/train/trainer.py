@@ -501,29 +501,14 @@ def train_lightgcn(
             R_hat = (jnp.asarray(R8), jnp.asarray(du_inv), jnp.asarray(di_inv))
         elif _bf16 and 4.0 * U * I > HOST_INCIDENCE_BUILD_BYTES:
             # the dtype-aware dense regime's BIG half (f32 incidence over
-            # ~2 GB, bf16 under the densify budget): build the int8 pattern
-            # host-side (1 byte/entry) and the bf16 incidence ON DEVICE —
-            # normalized_bipartite would materialize (U, I) f64/f32 host
-            # intermediates (12 GB at the 50k x 30k rung docs/PERF.md
-            # measures at 20.3k examples/s)
-            eu_np = np.asarray(graph.train.users)
-            ei_np = np.asarray(graph.train.items)
-            R8_np = np.zeros((U, I), np.int8)
-            R8_np[eu_np, ei_np] = 1
-            du = R8_np.sum(axis=1, dtype=np.int64)
-            di = R8_np.sum(axis=0, dtype=np.int64)
-            dui = jnp.asarray(
-                np.where(du > 0, 1.0 / np.sqrt(du), 0.0).astype(np.float32)
-            )
-            dii = jnp.asarray(
-                np.where(di > 0, 1.0 / np.sqrt(di), 0.0).astype(np.float32)
-            )
-            R_hat = jax.jit(
-                lambda r, a, b: (
-                    a[:, None] * r.astype(jnp.bfloat16) * b[None, :]
-                ).astype(jnp.bfloat16)
-            )(jnp.asarray(R8_np), dui, dii)
-            del R8_np
+            # ~2 GB, bf16 under the densify budget): build the bf16
+            # incidence ON DEVICE from the int8 pattern (data/graph.
+            # device_bf16_incidence) — normalized_bipartite would
+            # materialize (U, I) f64/f32 host intermediates (12 GB at the
+            # 50k x 30k rung docs/PERF.md measures at 20.3k examples/s)
+            from lgcnhs_tpu.data.graph import device_bf16_incidence
+
+            R_hat = device_bf16_incidence(U, I, graph.train)
         else:
             # In the mixed-precision path the matmul input R_hat is cast ONCE
             # here, not inside the jitted step (45 MB -> 22 MB copy per step
@@ -601,7 +586,10 @@ def train_lightgcn(
                 lightgcn_propagate_coo,
             )
 
-            edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
+            if propagation != "dense":
+                # consumed only by the COO train layouts below; skip the
+                # device bincount programs on the bf16-dense rung
+                edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
             rowptr_np, cols_np = scalable.user_csr(U, graph.train)
             rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
             v_rowptr_np, v_cols_np = scalable.user_csr(U, graph.val)

@@ -151,3 +151,48 @@ def test_main_target_user_raw_id_decode(tmp_path):
         assert any("not found in the id mapping" in m for m in messages)
     finally:
         logging.getLogger("lgcnhs").removeHandler(handler)
+
+
+def test_main_target_user_without_cached_mappings(tmp_path, monkeypatch):
+    """Warm split caches written without id_mappings.npz yield empty mapping
+    dicts: --target-user-internal must still print (internal ids only) and
+    --target-user must warn — neither may crash (round-4 review finding)."""
+    import dataclasses
+    import logging
+
+    import lgcnhs_tpu.cli.main as main_mod
+
+    real = main_mod.load_pipeline
+
+    def patched(cfg):
+        graph, uf, itf, splits = real(cfg)
+        return graph, uf, itf, dataclasses.replace(
+            splits, uid_mapping={}, iid_mapping={}
+        )
+
+    monkeypatch.setattr(main_mod, "load_pipeline", patched)
+    messages = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            messages.append(record.getMessage())
+
+    handler = _Capture()
+    logging.getLogger("lgcnhs").addHandler(handler)
+    try:
+        m = main_cli.main(
+            SMALL + ["--model", "HybridS", "--workdir", str(tmp_path),
+                     "--target-user-internal", "3"]
+        )
+        assert all(np.isfinite(v) for v in m.values())
+        assert any("recommendations for internal user 3" in s for s in messages)
+
+        messages.clear()
+        m = main_cli.main(
+            SMALL + ["--model", "HybridS", "--workdir", str(tmp_path),
+                     "--target-user", "3"]
+        )
+        assert all(np.isfinite(v) for v in m.values())
+        assert any("no id mappings cached" in s for s in messages)
+    finally:
+        logging.getLogger("lgcnhs").removeHandler(handler)

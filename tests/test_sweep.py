@@ -290,3 +290,65 @@ def test_sharded_tall_sweep_matches_single_device(setup):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     dense = np.asarray(lambda_sweep_metrics(jnp.asarray(lambdas), *args, cfg.k))
     np.testing.assert_allclose(got, dense, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_s_build_uses_duplicate_counting_degrees(setup):
+    """When S=None, the mesh sweep's Sorensen build must consume the
+    caller's duplicate-counting item_deg (EvalContext semantics,
+    utils/trans.py:94-116 counts dict-list rows), NOT a column sum of the
+    0/1 A — on data with duplicated rating rows the two differ and the I@k
+    column would drift from the single-device sweep."""
+    from lgcnhs_tpu.ops.sweep import item_sharded_lambda_sweep
+
+    cfg, graph, ctx, args = setup
+    G, A, W_gen, seen, eval_pos, eval_counts, eval_present, _S = args
+    # duplicate-counting degrees: inflate a few items beyond their colsum
+    deg_dup = np.asarray(ctx.item_deg).astype(np.float64).copy()
+    deg_dup[:5] += 3
+    S_dup = metrics_ops.similarity_matrix(
+        jnp.asarray(ctx.interaction), jnp.asarray(deg_dup)
+    )
+    lambdas = np.asarray([0.3, 0.8], np.float32)
+    want = np.asarray(lambda_sweep_metrics(
+        jnp.asarray(lambdas), G, A, W_gen, seen, eval_pos, eval_counts,
+        eval_present, S_dup, cfg.k,
+    ))
+    mesh = make_mesh((2, 4))
+    got = np.asarray(item_sharded_lambda_sweep(
+        mesh, lambdas, G, A, None, seen, eval_pos, eval_counts,
+        eval_present, None, k=cfg.k, item_deg=jnp.asarray(deg_dup),
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    got2 = np.asarray(sharded_lambda_sweep(
+        mesh, lambdas, G, A, None, seen, eval_pos, eval_counts,
+        eval_present, None, k=cfg.k, item_deg=jnp.asarray(deg_dup),
+    ))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-6)
+
+
+def test_find_lambda_blocked_subcase_rescued_by_tall_flavor(tmp_path, monkeypatch):
+    """Catalogs in the 'blocked' regime (2U >= I, dense over budget) whose
+    W-free live set still fits must run the exact tall flavor single-chip
+    instead of hard-exiting with a mesh demand (round-4 review finding)."""
+    import lgcnhs_tpu.ops.diffusion as diff
+    import lgcnhs_tpu.cli.find_lambda as fl
+    from lgcnhs_tpu.ops import sweep as sweep_mod
+
+    # at ~60 x ~70 f32: dense needs ~90 kB, blocked ~50 kB, factored live
+    # ~65 kB -> budget 70 kB gives regime "blocked" with factored_fits True
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 70_000)
+    calls = []
+    real = sweep_mod.lambda_sweep_metrics_tall
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fl, "lambda_sweep_metrics_tall", spy)
+    df = fl.main(
+        ["--dataset", "synthetic", "--env", "dev", "--workdir", str(tmp_path),
+         "--users", "60", "--items", "70", "--interactions", "1200",
+         "--epochs", "4", "--step", "0.5", "--k", "5"]
+    )
+    assert calls, "tall rescue did not run"
+    assert np.isfinite(df[["P", "R", "NDCG", "H", "I"]].to_numpy()).all()
