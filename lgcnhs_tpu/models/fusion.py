@@ -95,13 +95,18 @@ def serve_fused(
 
     W = hybrid_transfer(jnp.asarray(A), W_gen, jnp.asarray(cfg.hparams.lambda_, A.dtype))
     if jax.default_backend() == "tpu":
-        from lgcnhs_tpu.ops.pallas.fusion_serve import fused_lgcnhs_serve
-
-        idx, _ = fused_lgcnhs_serve(
-            params.user_emb, params.item_emb, jnp.asarray(A), W,
-            jnp.asarray(seen), cfg.k,
+        from lgcnhs_tpu.ops.pallas.fusion_serve import (
+            fits_vmem_serve,
+            fused_lgcnhs_serve,
         )
-        return np.asarray(idx)
+
+        if fits_vmem_serve(graph.n_items, params.item_emb.shape[1]):
+            idx, _ = fused_lgcnhs_serve(
+                params.user_emb, params.item_emb, jnp.asarray(A), W,
+                jnp.asarray(seen), cfg.k,
+            )
+            return np.asarray(idx)
+        # resident set over VMEM (~10-12k items at D=64): XLA chain instead
 
     return np.asarray(
         _serve_unfused(params.user_emb, params.item_emb, jnp.asarray(A), W,

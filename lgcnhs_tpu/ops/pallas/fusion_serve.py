@@ -19,8 +19,13 @@ the grid's second dimension.
 Tie-breaking is torch.topk-style lowest-index (same as ``masked_topk``); the
 exact-parity spread ranker (reversed-stable argsort + seen backfill,
 ``ops/topk.rank_exclude_seen``) remains the reference-parity path — this
-kernel is the high-QPS serving flavor, and the G-side -1024 mask applies
-BEFORE the product exactly as the reference computes F_new.
+kernel is the high-QPS serving flavor. Seen/padded entries are excluded
+OUTRIGHT (-inf on the PRODUCT, see the kernel comment): the reference's
+spread ranker list-filters seen items (``recommend.py:44``) rather than
+relying on the -1024 G mask, whose product with F=0 would be 0 and outrank
+real negative fused scores; consequently users with fewer than k unseen
+items get lowest-index -inf entries at the tail here, not the parity
+ranker's best-seen backfill.
 """
 from __future__ import annotations
 
@@ -33,6 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -3.0e38
 USER_BLOCK = 128
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def fits_vmem_serve(n_items: int, d: int, item_tile: int = 256,
+                    budget: int = _VMEM_BUDGET) -> bool:
+    """True when the fused serving kernel's resident set fits on-chip:
+    (128, I_pad) A block + (128, I_pad) f32 scores scratch + (128, I_pad)
+    int8 seen + double-buffered (I_pad, item_tile) W stripe + item/user
+    tiles. ~10-12k items at the default tile; beyond it callers take the
+    XLA chain or the sharded serving path."""
+    i_pad = -(-n_items // item_tile) * item_tile
+    resident = USER_BLOCK * i_pad * 4  # A block
+    resident += USER_BLOCK * i_pad * 4  # scores scratch
+    resident += USER_BLOCK * i_pad * 1  # seen
+    resident += 2 * i_pad * item_tile * 4  # W stripe, double buffered
+    resident += 2 * item_tile * d * 4 + 2 * USER_BLOCK * d * 4
+    return resident <= budget
 
 
 def _fusion_kernel(u_ref, it_ref, a_ref, w_ref, seen_ref, idx_ref, val_ref, scores):
@@ -101,6 +123,12 @@ def fused_lgcnhs_serve(
     # beyond ~16k items should use the sharded serving path instead.
     """(indices, values) of top-k over (masked G) * (A W) without
     materializing any (U, I) intermediate in HBM."""
+    if item_tile % 128 != 0 and not interpret:
+        # the kernel stores to the scores scratch at lane offset
+        # tile*item_tile; Mosaic only lowers dynamic-lane stores at
+        # 128-multiples (see CLAUDE.md) — fail fast with a clear message
+        # (the interpreter has no lane constraint; tests use small tiles)
+        raise ValueError(f"item_tile must be a multiple of 128, got {item_tile}")
     U, D = user_emb.shape
     I = item_emb.shape[0]
 

@@ -12,10 +12,19 @@ Mosaic has no top_k/sort lowering (probed: NotImplementedError), so selection
 is emulated with max + first-argmax (iota/min trick), which reproduces
 torch.topk's lowest-index tie rule exactly.
 
-VMEM budget: the (128, I) f32 score block must fit on-chip; I up to ~200k
-is fine (103 KB per 128-item column block). Larger catalogs should use the
-sharded distributed top-k (``parallel/sharding.py``) over item blocks, which
-composes with this kernel per shard.
+VMEM budget: the item table (I_pad x D), the (128, I_pad) f32 score
+scratch, and the (128, I_pad) seen block must fit on-chip together —
+~(4D + 512 + 128) bytes per item, i.e. I up to ~13k at D=64
+(``fits_vmem_retrieval``; dispatchers fall back to the XLA masked_topk
+beyond it). Larger catalogs use the sharded distributed top-k
+(``parallel/sharding.py``) over item blocks, which composes with this
+kernel per shard.
+
+Mask encoding (int8): 0 = unseen (real score), 1 = seen (the reference's
+finite -1024 sentinel — seen items CAN be emitted when every unseen score
+is below it, exactly like the reference's torch.topk over the masked
+matrix), 2 = invalid (lane padding / sharding padding: -inf, can never be
+emitted).
 """
 from __future__ import annotations
 
@@ -31,6 +40,19 @@ from lgcnhs_tpu.ops.topk import MASK_VALUE
 
 _NEG_INF = -3.0e38
 USER_BLOCK = 128
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
+
+
+def fits_vmem_retrieval(n_items: int, d: int, budget: int = _VMEM_BUDGET) -> bool:
+    """True when the fused kernel's resident set fits on-chip: item table
+    (I_pad, D) f32 + (USER_BLOCK, I_pad) f32 score scratch + (USER_BLOCK,
+    I_pad) int8 seen block (+ small user/out tiles). ~13k items at D=64."""
+    i_pad = -(-n_items // 128) * 128
+    resident = i_pad * d * 4
+    resident += USER_BLOCK * i_pad * 4
+    resident += USER_BLOCK * i_pad * 1
+    resident += 4 * USER_BLOCK * d * 4
+    return resident <= budget
 
 
 def _retrieval_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref, scores):
@@ -44,8 +66,17 @@ def _retrieval_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref, scores):
     k = idx_ref.shape[1]
     n_items = it_ref.shape[0]
 
-    s = jnp.dot(u_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
-    s = jnp.where(seen_ref[:] != 0, MASK_VALUE, s)
+    # HIGHEST precision: the single-pass MXU matmul truncates f32 inputs to
+    # bf16 and flips ~4% of near-tie indices vs the XLA path (measured on
+    # chip); the 3-pass f32 emulation keeps retrieve_topk's "identical
+    # indices" dispatch contract
+    s = jnp.dot(u_ref[:], it_ref[:].T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    # int8 vector compares don't lower on v5e Mosaic ("Target does not
+    # support this comparison"); upcast the mask once
+    m = seen_ref[:].astype(jnp.int32)
+    s = jnp.where(m == 1, MASK_VALUE, s)  # reference seen sentinel
+    s = jnp.where(m >= 2, _NEG_INF, s)  # padding: never emitted
     scores[:] = s
 
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
@@ -93,9 +124,12 @@ def fused_topk_retrieval(
     I_pad = -(-I // 128) * 128
     u = jnp.pad(user_emb, ((0, U_pad - U), (0, 0)))
     it = jnp.pad(item_emb, ((0, I_pad - I), (0, 0)))
-    # padded items must never win: mark them seen
+    # padded items must NEVER win, not even against sub-sentinel scores:
+    # they carry mask state 2 (-inf), distinct from seen items' finite
+    # -1024 sentinel (callers may pass an int8 seen already carrying 2s
+    # for their own sharding padding — astype keeps them)
     seen_i8 = jnp.pad(
-        seen.astype(jnp.int8), ((0, U_pad - U), (0, I_pad - I)), constant_values=1
+        seen.astype(jnp.int8), ((0, U_pad - U), (0, I_pad - I)), constant_values=2
     )
 
     grid = (U_pad // USER_BLOCK,)

@@ -138,14 +138,21 @@ def retrieve_topk(
     """Full-catalog layer-0 retrieval: scores + mask + top-k.
 
     On TPU this dispatches to the fused Pallas kernel (scores never touch
-    HBM, ~2.3x the XLA path); elsewhere (CPU tests) it materializes scores
-    and uses masked_topk. Both produce identical indices (tie rule included).
+    HBM, ~2.3x the XLA path) WHEN its resident set fits VMEM
+    (``fits_vmem_retrieval``, ~13k items at D=64); elsewhere it
+    materializes scores and uses masked_topk. Both produce identical
+    indices (tie rule included — padding is masked to -inf, strictly below
+    the reference's finite -1024 seen sentinel).
     """
     if jax.default_backend() == "tpu":
-        from lgcnhs_tpu.ops.pallas.retrieval import fused_topk_retrieval
+        from lgcnhs_tpu.ops.pallas.retrieval import (
+            fits_vmem_retrieval,
+            fused_topk_retrieval,
+        )
 
-        idx, _ = fused_topk_retrieval(user_emb, item_emb, seen, k)
-        return idx
+        if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
+            idx, _ = fused_topk_retrieval(user_emb, item_emb, seen, k)
+            return idx
     scores = jnp.dot(
         user_emb,
         item_emb.T,

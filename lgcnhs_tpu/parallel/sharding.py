@@ -22,7 +22,7 @@ inserts psum/all-gather where contractions cross shards.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -221,38 +221,42 @@ def distributed_retrieve_topk(
     n_shards = mesh.shape[MODEL_AXIS]
     n_items = item_emb.shape[0]
     n_pad = _pad_len(n_items, n_shards)
+    # tri-state mask (ops/pallas/retrieval.py encoding): 0 unseen, 1 seen
+    # (the reference's finite -1024 sentinel), 2 invalid (-inf). Sharding
+    # padding is state 2 so it can never displace ANY real candidate — not
+    # even in the sub-sentinel score regime (round-4 review finding).
+    seen8 = seen.astype(jnp.int8)
     if n_pad != n_items:
-        # zero-embedding padded items: the local ranker demotes their scores
-        # to -inf (below the finite MASK_VALUE sentinel AND below any real
-        # unseen score), so they can never displace a real candidate
         item_emb = _pad_rows(item_emb, n_pad)
-        seen = jnp.pad(seen, ((0, 0), (0, n_pad - n_items)), constant_values=True)
+        seen8 = jnp.pad(seen8, ((0, 0), (0, n_pad - n_items)), constant_values=2)
         item_emb = jax.device_put(item_emb, NamedSharding(mesh, P(MODEL_AXIS, None)))
-        seen = jax.device_put(seen, NamedSharding(mesh, P(None, MODEL_AXIS)))
+        seen8 = jax.device_put(seen8, NamedSharding(mesh, P(None, MODEL_AXIS)))
     block = n_pad // n_shards
     if k > block:
         raise ValueError(f"k={k} exceeds shard width {block}")
 
     def local(ue, ie_blk, seen_blk):
         base = jax.lax.axis_index(MODEL_AXIS) * block
-        if jax.default_backend() == "tpu":
+        use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from lgcnhs_tpu.ops.pallas.retrieval import fits_vmem_retrieval
+
+            use_pallas = fits_vmem_retrieval(block, ie_blk.shape[1])
+        if use_pallas:
             from lgcnhs_tpu.ops.pallas.retrieval import fused_topk_retrieval
 
+            # the kernel maps state-2 columns (incl. its own lane padding)
+            # to -inf; the demotion below is defense in depth only
             idx, vals = fused_topk_retrieval(ue, ie_blk, seen_blk, k)
-            if n_pad != n_items:
-                # the fused kernel masks seen items to the finite sentinel;
-                # demote padded candidates after the fact. (A real item
-                # scoring below MASK_VALUE in the one partial shard can be
-                # displaced locally by padding — that regime is already below
-                # the reference's seen-item sentinel; documented deviation.)
-                vals = jnp.where(idx + base >= n_items, -jnp.inf, vals)
+            vals = jnp.where(idx + base >= n_items, -jnp.inf, vals)
         else:
-            scores = jnp.dot(ue, ie_blk.T, preferred_element_type=ue.dtype)
-            masked = jnp.where(seen_blk, MASK_VALUE, scores)
-            if n_pad != n_items:
-                masked = jnp.where(
-                    base + jnp.arange(block)[None, :] >= n_items, -jnp.inf, masked
-                )
+            scores = jnp.dot(
+                ue, ie_blk.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=ue.dtype,
+            )
+            masked = jnp.where(seen_blk == 1, MASK_VALUE, scores)
+            masked = jnp.where(seen_blk >= 2, -jnp.inf, masked)
             vals, idx = jax.lax.top_k(masked, k)
         return vals, idx + base
 
@@ -262,7 +266,7 @@ def distributed_retrieve_topk(
         in_specs=(P(), P(MODEL_AXIS, None), P(None, MODEL_AXIS)),
         out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
         check_vma=False,
-    )(user_emb, item_emb, seen)
+    )(user_emb, item_emb, seen8)
 
     @jax.jit
     def merge(vals, idx):
@@ -361,18 +365,20 @@ def sharded_diffusion_scores(
     """
     item_cols = NamedSharding(mesh, P(None, MODEL_AXIS))
 
+    hi = jax.lax.Precision.HIGHEST  # parity: CLAUDE.md f32-HIGHEST rule
+
     @jax.jit
     def run(A, lam):
         k_user = jnp.sum(A, axis=1)
         k_user = jnp.where(k_user == 0, 1.0, k_user)
         An = A / k_user[:, None]
-        W_gen = jnp.dot(An.T, A, preferred_element_type=A.dtype)
+        W_gen = jnp.dot(An.T, A, precision=hi, preferred_element_type=A.dtype)
         W_gen = jax.lax.with_sharding_constraint(W_gen, item_cols)
         k_item = jnp.sum(A, axis=0)
         denom = jnp.power(k_item, 1.0 - lam)[:, None] * jnp.power(k_item, lam)[None, :]
         W = W_gen / jnp.where(denom == 0, 1.0, denom)
         W = jax.lax.with_sharding_constraint(W, item_cols)
-        F = jnp.dot(A, W, preferred_element_type=A.dtype)
+        F = jnp.dot(A, W, precision=hi, preferred_element_type=A.dtype)
         return jax.lax.with_sharding_constraint(F, item_cols)
 
     return run(jax.device_put(A, item_cols), jnp.asarray(lam, A.dtype))
@@ -410,6 +416,16 @@ def distributed_masked_topk(
     block = n_pad // n_shards
     if k > block:
         raise ValueError(f"k={k} exceeds shard width {block}")
+    return _masked_topk_program(mesh, k, block)(scores, seen)
+
+
+@lru_cache(maxsize=None)
+def _masked_topk_program(mesh: Mesh, k: int, block: int):
+    """Staged (jitted shard_map + merge) program for
+    ``distributed_masked_topk``, cached per (mesh, k, block) so the
+    trainer's per-eval call re-traces nothing (the round-4 review found a
+    fresh shard_map + jit closure was built per eval — the same retrace
+    cost ``make_distributed_csr_masked_topk`` already stages away)."""
 
     def local_topk(scores_blk, seen_blk):
         masked = jnp.where(seen_blk, MASK_VALUE, scores_blk)
@@ -417,19 +433,20 @@ def distributed_masked_topk(
         base = jax.lax.axis_index(MODEL_AXIS) * block
         return vals, idx + base
 
-    vals, idx = shard_map(
+    sm = shard_map(
         local_topk,
         mesh=mesh,
         in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
         out_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
-    )(scores, seen)
+    )
 
     @jax.jit
-    def merge(vals, idx):
+    def run(scores, seen):
+        vals, idx = sm(scores, seen)
         _, sel = jax.lax.top_k(vals, k)
         return jnp.take_along_axis(idx, sel, axis=1)
 
-    return merge(vals, idx)
+    return run
 
 
 # ---------------------------------------------------------------------------

@@ -52,3 +52,48 @@ def test_tie_break_lowest_index():
     seen = jnp.zeros((4, 20), bool)
     idx, _ = fused_topk_retrieval(ue, ie, seen, 5, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx), np.tile(np.arange(5), (4, 1)))
+
+
+def test_padding_never_wins_below_sentinel_scores():
+    """Round-4 review finding: the kernel's 128-lane item padding must rank
+    at -inf (mask state 2), NOT at the finite -1024 seen sentinel — a user
+    whose every unseen score is below -1024 must still get REAL item ids,
+    matching masked_topk on the true catalog exactly."""
+    rng = np.random.default_rng(3)
+    U2, I2, D2, k = 8, 123, 16, 7  # I=123 pads to 128: 5 phantom lanes
+    ue = rng.standard_normal((U2, D2)).astype(np.float32)
+    ie = rng.standard_normal((I2, D2)).astype(np.float32)
+    # push every score far below the -1024 sentinel
+    ue[0] *= 0.0
+    ie_scaled = ie * 1.0
+    scores_base = ue @ ie_scaled.T
+    ue_j = jnp.asarray(ue * 2000.0 / max(1e-9, np.abs(scores_base).max()))
+    ue_j = -jnp.abs(ue_j)  # make most scores very negative
+    seen = jnp.zeros((U2, I2), bool)
+    idx, vals = fused_topk_retrieval(
+        ue_j, jnp.asarray(ie_scaled), seen, k, interpret=True
+    )
+    assert (np.asarray(idx) < I2).all(), "padded pseudo-item id emitted"
+    scores = np.asarray(ue_j) @ ie_scaled.T
+    want = np.asarray(masked_topk(jnp.asarray(scores), seen, k))
+    np.testing.assert_array_equal(np.asarray(idx), want)
+
+
+def test_seen_sentinel_still_beats_sub_sentinel_unseen():
+    """Parity of the -1024 semantics is preserved by the tri-state mask:
+    a SEEN item (finite sentinel) can still be emitted over unseen items
+    scoring below -1024, exactly like the reference's torch.topk over the
+    masked matrix."""
+    U2, I2, D2, k = 4, 100, 8, 3
+    rng = np.random.default_rng(5)
+    ie = rng.standard_normal((I2, D2)).astype(np.float32)
+    ue = -np.abs(rng.standard_normal((U2, D2)).astype(np.float32)) * 1e4
+    seen = np.zeros((U2, I2), bool)
+    seen[:, 0] = True  # one seen item at the -1024 sentinel
+    scores = ue @ ie.T
+    assert (np.where(~seen, scores, np.inf).min(axis=1) < -1024).all()
+    idx, vals = fused_topk_retrieval(
+        jnp.asarray(ue), jnp.asarray(ie), jnp.asarray(seen), k, interpret=True
+    )
+    want = np.asarray(masked_topk(jnp.asarray(scores), jnp.asarray(seen), k))
+    np.testing.assert_array_equal(np.asarray(idx), want)
