@@ -77,6 +77,15 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "'--platform cpu' is the only reliable way to keep a CLI run off "
         "the TPU; 'auto' keeps the ambient default)",
     )
+    p.add_argument(
+        "--neg-range",
+        choices=["catalog", "reference"],
+        default=None,
+        help="BPR negative-candidate range: 'catalog' (default, uniform over "
+        "all items) or 'reference' to reproduce torch-geometric's "
+        "structured_negative_sampling bound (max node id present in the "
+        "split, model/LightGCN/loss.py:58; docs/PARITY.md deviations #6)",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -154,6 +163,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["synthetic_interactions"] = args.interactions
     if getattr(args, "scan_chunk", None) is not None:
         overrides["compute.scan_chunk"] = args.scan_chunk
+    if getattr(args, "neg_range", None) is not None:
+        overrides["hparams.neg_range"] = args.neg_range
     if getattr(args, "quantile", None) is not None:
         overrides["preprocessing.quantile_start"] = args.quantile[0]
         overrides["preprocessing.quantile_end"] = args.quantile[1]

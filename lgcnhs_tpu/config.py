@@ -78,6 +78,13 @@ class HyperParameters:
     epsilon: float = 1e-6
     # Hybrid-diffusion blend: 1 => ProbS, 0 => HeatS.
     lambda_: float = 0.5
+    # Negative-candidate range. "catalog" (default): uniform over [0, n_items)
+    # — the correct estimator. "reference": reproduce torch-geometric's
+    # structured_negative_sampling quirk (model/LightGCN/loss.py:58,
+    # evaluation.py:71-72): candidates bounded by the max user-OR-item id
+    # PRESENT in the split's edge matrix, so tail items absent from the split
+    # can never be drawn as negatives (docs/PARITY.md "Known deviations" #6).
+    neg_range: str = "catalog"
 
 
 @dataclass(frozen=True)

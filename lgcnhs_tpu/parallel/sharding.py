@@ -23,7 +23,7 @@ inserts psum/all-gather where contractions cross shards.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -136,12 +136,15 @@ def unpad_params(params: LightGCNParams, n_users: int, n_items: int) -> LightGCN
 
 
 def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int,
-                            bf16_matmul: bool = False):
+                            bf16_matmul: bool = False,
+                            neg_hi: Optional[int] = None):
     """The single-chip train step, compiled against sharded inputs. GSPMD
     turns the bipartite matmuls into collective matmuls over the model axis
     and the batch gathers into all-to-all-style exchanges. The sampled
     minibatch is constrained onto the data axis so the per-example loss math
-    runs data-parallel."""
+    runs data-parallel. ``neg_hi`` overrides the negative-candidate upper
+    bound (``hparams.neg_range='reference'``)."""
+    _hi = neg_hi if neg_hi is not None else n_items
     batch_sharding = NamedSharding(plan.mesh, P(DATA_AXIS))
 
     def _loss(params, R_hat, users, pos_items, neg_items):
@@ -161,7 +164,7 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int,
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, R_hat, edge_users, edge_items, pos_mask):
         users, pos_items, neg_items = sample_bpr_batch(
-            key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+            key, edge_users, edge_items, pos_mask, hp.batch_size, _hi
         )
         users, pos_items, neg_items = jax.tree.map(
             lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
@@ -178,13 +181,15 @@ def make_sharded_train_step(plan: ShardingPlan, optimizer, hp, n_items: int,
 
 
 def make_sharded_train_scan(plan: ShardingPlan, optimizer, hp, n_items: int,
-                            bf16_matmul: bool = False):
+                            bf16_matmul: bool = False,
+                            neg_hi: Optional[int] = None):
     """Sharded flavor of ``train.trainer.make_train_scan``: every epoch
     between eval boundaries as one jitted ``lax.scan`` over the sharded step,
     with the identical ``fold_in(base_key, epoch)`` stream — so multi-chip
     chunked training reproduces the per-dispatch sequence exactly while
     paying the host dispatch (and any DCN launch latency) once per chunk."""
-    step_once = make_sharded_train_step(plan, optimizer, hp, n_items, bf16_matmul)
+    step_once = make_sharded_train_step(plan, optimizer, hp, n_items,
+                                        bf16_matmul, neg_hi)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
     def train_scan(params, opt_state, base_key, epoch0, n_steps,
@@ -573,13 +578,17 @@ def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
 
 
 def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,
-                                n_users: int, n_items: int):
+                                n_users: int, n_items: int,
+                                neg_hi: Optional[int] = None):
     """Edge-sharded flavor of ``train.trainer.make_coo_train_step``: the same
     CSR sampler on the replicated edge list (identical triple stream), the
-    propagation distributed over edge blocks, loss/update replicated."""
+    propagation distributed over edge blocks, loss/update replicated.
+    ``neg_hi`` overrides the negative-candidate upper bound
+    (``hparams.neg_range='reference'``)."""
     from lgcnhs_tpu.models.lightgcn import bpr_loss
     from lgcnhs_tpu.ops.scalable import sample_bpr_batch_csr
 
+    _hi = neg_hi if neg_hi is not None else n_items
     propagate = _coo_propagate_sharded(plan, n_users, n_items, hp.layers)
 
     def _loss(params, se, users, pos_items, neg_items):
@@ -594,7 +603,7 @@ def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, key, edge_users, edge_items, rowptr, cols, se):
         users, pos_items, neg_items = sample_bpr_batch_csr(
-            key, edge_users, edge_items, rowptr, cols, hp.batch_size, n_items
+            key, edge_users, edge_items, rowptr, cols, hp.batch_size, _hi
         )
         loss, grads = jax.value_and_grad(_loss)(
             params, se, users, pos_items, neg_items
@@ -607,10 +616,12 @@ def make_sharded_coo_train_step(plan: ShardingPlan, optimizer, hp,
 
 
 def make_sharded_coo_train_scan(plan: ShardingPlan, optimizer, hp,
-                                n_users: int, n_items: int):
+                                n_users: int, n_items: int,
+                                neg_hi: Optional[int] = None):
     """Scan-chunked flavor of ``make_sharded_coo_train_step`` with the
     standard ``fold_in(base_key, epoch)`` stream."""
-    step_once = make_sharded_coo_train_step(plan, optimizer, hp, n_users, n_items)
+    step_once = make_sharded_coo_train_step(plan, optimizer, hp, n_users,
+                                            n_items, neg_hi)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
     def train_scan(params, opt_state, base_key, epoch0, n_steps,

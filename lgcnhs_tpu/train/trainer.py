@@ -172,7 +172,7 @@ def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str
     return "dense"
 
 
-def _make_coo_step_parts(optimizer, hp, n_items: int):
+def _make_coo_step_parts(optimizer, hp, n_items: int, neg_hi: Optional[int] = None):
     """Shared body of the COO step: (loss over the bucketed incidence,
     one-step update). Propagation runs on the scatter-free degree-bucketed
     ELL layout with the self-adjoint custom-VJP pair
@@ -198,7 +198,8 @@ def _make_coo_step_parts(optimizer, hp, n_items: int):
 
     def step(params, opt_state, key, binc, edge_users, edge_items, rowptr, cols):
         users, pos_items, neg_items = sample_bpr_batch_csr(
-            key, edge_users, edge_items, rowptr, cols, hp.batch_size, n_items
+            key, edge_users, edge_items, rowptr, cols, hp.batch_size,
+            neg_hi if neg_hi is not None else n_items,
         )
         loss, grads = jax.value_and_grad(_loss)(
             params, binc, users, pos_items, neg_items
@@ -210,14 +211,16 @@ def _make_coo_step_parts(optimizer, hp, n_items: int):
     return step
 
 
-def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
+def make_coo_train_step(optimizer, hp, n_users: int, n_items: int,
+                        neg_hi: Optional[int] = None):
     """Large-graph flavor of the train step for graphs too large/sparse to
     densify (same math as ``ops/propagation.lightgcn_propagate_coo``; runs
     on the bucketed layout, ``build_bucketed_incidence``). Negative-sampling
     rejection runs against the user-major CSR edge list
     (``ops/scalable.sample_bpr_batch_csr``) — no (U, I) pos_mask anywhere,
-    same triple stream as the dense sampler."""
-    step = _make_coo_step_parts(optimizer, hp, n_items)
+    same triple stream as the dense sampler. ``neg_hi`` overrides the
+    negative-candidate upper bound (``hparams.neg_range='reference'``)."""
+    step = _make_coo_step_parts(optimizer, hp, n_items, neg_hi)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, binc, edge_users, edge_items,
@@ -228,11 +231,12 @@ def make_coo_train_step(optimizer, hp, n_users: int, n_items: int):
     return train_step
 
 
-def make_coo_train_scan(optimizer, hp, n_users: int, n_items: int):
+def make_coo_train_scan(optimizer, hp, n_users: int, n_items: int,
+                        neg_hi: Optional[int] = None):
     """Scan-chunked flavor of ``make_coo_train_step`` — same fold_in key
     stream as the per-step path (see ``make_train_scan``); amortizes dispatch
     for the large-graph path exactly like the dense one."""
-    step = _make_coo_step_parts(optimizer, hp, n_items)
+    step = _make_coo_step_parts(optimizer, hp, n_items, neg_hi)
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
     def train_scan(params, opt_state, base_key, epoch0, n_steps,
@@ -255,13 +259,16 @@ def make_coo_train_scan(optimizer, hp, n_users: int, n_items: int):
 
 
 def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
-                    use_pallas: bool = False):
-    """One jitted epoch: sample -> forward -> BPR -> Adam update."""
+                    use_pallas: bool = False, neg_hi: Optional[int] = None):
+    """One jitted epoch: sample -> forward -> BPR -> Adam update. ``neg_hi``
+    overrides the negative-candidate upper bound (defaults to ``n_items``;
+    ``hparams.neg_range='reference'`` passes the split-bounded range)."""
+    _hi = neg_hi if neg_hi is not None else n_items
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, R_hat, edge_users, edge_items, pos_mask):
         users, pos_items, neg_items = sample_bpr_batch(
-            key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+            key, edge_users, edge_items, pos_mask, hp.batch_size, _hi
         )
         loss, grads = jax.value_and_grad(_loss_fn)(
             params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers,
@@ -275,7 +282,7 @@ def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
 
 
 def make_train_scan(optimizer, hp, n_items: int, bf16_matmul: bool = False,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, neg_hi: Optional[int] = None):
     """Multi-epoch train step: ``n_steps`` reference epochs (each = ONE
     minibatch step, ``model/LightGCN/train.py:125``) in a single jitted
     ``lax.scan``, amortizing the per-dispatch host/runtime overhead that
@@ -283,6 +290,7 @@ def make_train_scan(optimizer, hp, n_items: int, bf16_matmul: bool = False,
     ``fold_in(base_key, epoch)`` rule the per-step path uses, so the sample
     stream (and therefore training) is IDENTICAL to calling
     ``make_train_step`` once per epoch."""
+    _hi = neg_hi if neg_hi is not None else n_items
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
     def train_scan(params, opt_state, base_key, epoch0, n_steps,
@@ -291,7 +299,7 @@ def make_train_scan(optimizer, hp, n_items: int, bf16_matmul: bool = False,
             params, opt_state = carry
             step_key = jax.random.fold_in(base_key, epoch)
             users, pos_items, neg_items = sample_bpr_batch(
-                step_key, edge_users, edge_items, pos_mask, hp.batch_size, n_items
+                step_key, edge_users, edge_items, pos_mask, hp.batch_size, _hi
             )
             loss, grads = jax.value_and_grad(_loss_fn)(
                 params, R_hat, users, pos_items, neg_items, hp.epsilon,
@@ -401,6 +409,45 @@ def train_lightgcn(
     val_present = jnp.asarray(users_present(U, graph.val))
     train_deg = jnp.asarray(item_degrees(I, graph.train))
 
+    # Negative-candidate upper bound per split. "reference" reproduces
+    # torch-geometric's structured_negative_sampling range quirk
+    # (model/LightGCN/loss.py:58, evaluation.py:71-72; docs/PARITY.md
+    # "Known deviations" #6): candidates bounded by the max user-OR-item id
+    # present in that split's edge matrix, not by the catalog size — items
+    # beyond the split's max id can never be drawn as negatives. The
+    # reference itself indexes items_emb with those candidates, so where its
+    # range exceeds n_items (max user id > max item id, e.g. ML-1M's
+    # 6040 > 3706) it would crash with a torch IndexError; fail fast with
+    # the explanation instead.
+    if hp.neg_range == "reference":
+
+        def _split_neg_hi(es, split_name: str) -> int:
+            hi = 1 + int(
+                max(
+                    np.asarray(es.users).max(initial=-1),
+                    np.asarray(es.items).max(initial=-1),
+                )
+            )
+            if hi > I:
+                raise ValueError(
+                    f"neg_range='reference': the {split_name} split's max "
+                    f"node id {hi - 1} >= n_items={I}; the reference's own "
+                    "sampler would index items_emb out of range here "
+                    "(structured_negative_sampling bounds candidates by the "
+                    "max USER-or-item id). Use neg_range='catalog'."
+                )
+            return hi
+
+        neg_hi_train = _split_neg_hi(graph.train, "train")
+        neg_hi_val = _split_neg_hi(graph.val, "val")
+    elif hp.neg_range == "catalog":
+        neg_hi_train = neg_hi_val = I
+    else:
+        raise ValueError(
+            f"unknown hparams.neg_range {hp.neg_range!r} "
+            "(expected 'catalog' or 'reference')"
+        )
+
     if mesh is not None and propagation == "dense":
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -450,8 +497,12 @@ def train_lightgcn(
             np.pad(np.asarray(item_degrees(I, graph.train)), (0, I_pad - I))
         )
 
-        train_step = make_sharded_train_step(plan, optimizer, hp, I, bf16_matmul=_bf16)
-        train_scan = make_sharded_train_scan(plan, optimizer, hp, I, bf16_matmul=_bf16)
+        train_step = make_sharded_train_step(
+            plan, optimizer, hp, I, bf16_matmul=_bf16, neg_hi=neg_hi_train
+        )
+        train_scan = make_sharded_train_scan(
+            plan, optimizer, hp, I, bf16_matmul=_bf16, neg_hi=neg_hi_train
+        )
         step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
 
         scores_fn = jax.jit(
@@ -483,7 +534,7 @@ def train_lightgcn(
             # every val edge exactly once, one rejected negative each
             # (calValLoss, evaluation.py:68-77) — NOT a bootstrap resample
             v_users, v_pos, v_neg = sample_negatives_for_edges(
-                vkey, val_edge_users, val_edge_items, val_pos, I
+                vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val
             )
             return val_loss_fn(
                 params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
@@ -562,17 +613,19 @@ def train_lightgcn(
             def val_loss_closure(params, vkey):
                 # every val edge exactly once (calValLoss, evaluation.py:68-77)
                 v_users, v_pos, v_neg = sample_negatives_for_edges(
-                    vkey, val_edge_users, val_edge_items, val_pos, I
+                    vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val
                 )
                 return val_loss_fn(
                     params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
                 )
 
             train_step = make_train_step(
-                optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+                optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
+                neg_hi=neg_hi_train,
             )
             train_scan = make_train_scan(
-                optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+                optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
+                neg_hi=neg_hi_train,
             )
             step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
         else:
@@ -617,7 +670,8 @@ def train_lightgcn(
             def val_loss_closure(params, vkey):
                 # every val edge exactly once (calValLoss, evaluation.py:68-77)
                 v_users, v_pos, v_neg = scalable.sample_negatives_for_edges_csr(
-                    vkey, val_edge_users, val_edge_items, v_rowptr, v_cols, I
+                    vkey, val_edge_users, val_edge_items, v_rowptr, v_cols,
+                    neg_hi_val,
                 )
                 return _coo_val_loss(params, v_users, v_pos, v_neg, hp.layers)
 
@@ -663,10 +717,12 @@ def train_lightgcn(
                 # (docs/PERF.md, "bf16-dense middle rung")
                 train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
                 train_step = make_train_step(
-                    optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+                    optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
+                    neg_hi=neg_hi_train,
                 )
                 train_scan = make_train_scan(
-                    optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas
+                    optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
+                    neg_hi=neg_hi_train,
                 )
                 step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
             elif mesh is not None:
@@ -679,8 +735,12 @@ def train_lightgcn(
                 se = shard_coo_edges(
                     plan, graph.train.users, graph.train.items, edge_norm
                 )
-                train_step = make_sharded_coo_train_step(plan, optimizer, hp, U, I)
-                train_scan = make_sharded_coo_train_scan(plan, optimizer, hp, U, I)
+                train_step = make_sharded_coo_train_step(
+                    plan, optimizer, hp, U, I, neg_hi=neg_hi_train
+                )
+                train_scan = make_sharded_coo_train_scan(
+                    plan, optimizer, hp, U, I, neg_hi=neg_hi_train
+                )
                 step_args = lambda: (edge_users, edge_items, rowptr, cols, se)
             else:
                 from lgcnhs_tpu.ops.propagation import build_bucketed_incidence
@@ -689,8 +749,12 @@ def train_lightgcn(
                     graph.train.users, graph.train.items, np.asarray(edge_norm),
                     U, I,
                 )
-                train_step = make_coo_train_step(optimizer, hp, U, I)
-                train_scan = make_coo_train_scan(optimizer, hp, U, I)
+                train_step = make_coo_train_step(
+                    optimizer, hp, U, I, neg_hi=neg_hi_train
+                )
+                train_scan = make_coo_train_scan(
+                    optimizer, hp, U, I, neg_hi=neg_hi_train
+                )
                 step_args = lambda: (binc, edge_users, edge_items, rowptr, cols)
 
     start_epoch = 0

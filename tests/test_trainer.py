@@ -151,3 +151,123 @@ def test_train_scan_matches_per_step_path(small_graph):
         np.asarray(params_a.item_emb), np.asarray(params_b.item_emb)
     )
     assert float(loss_a) == float(loss_b)
+
+
+# ---- hparams.neg_range="reference" (torch-geometric candidate-range quirk,
+# model/LightGCN/loss.py:58 / evaluation.py:71-72; docs/PARITY.md
+# "Known deviations" #6) ----
+
+
+def _tail_graph(n_users=20, n_items=40, tail=6, seed=0):
+    """Graph whose last ``tail`` item ids appear in NO split: the regime where
+    the reference's structured_negative_sampling (candidates bounded by the
+    split's max node id) can never draw them as negatives."""
+    from lgcnhs_tpu.data.graph import EdgeSet, InteractionGraph
+
+    rng = np.random.default_rng(seed)
+    eu = rng.integers(0, n_users, 500).astype(np.int32)
+    ei = rng.integers(0, n_items - tail, 500).astype(np.int32)
+    pairs = np.unique(np.stack([eu, ei]), axis=1)
+    eu, ei = pairs[0], pairs[1]
+    n = eu.shape[0]
+    perm = rng.permutation(n)
+    cut1, cut2 = int(0.8 * n), int(0.9 * n)
+
+    def es(idx):
+        return EdgeSet(eu[idx].copy(), ei[idx].copy())
+
+    return InteractionGraph(
+        n_users, n_items, EdgeSet(eu, ei),
+        es(perm[:cut1]), es(perm[cut1:cut2]), es(perm[cut2:]),
+    )
+
+
+def _neg_range_cfg(neg_range, mesh=(1, 1), dense_threshold=0.001):
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    return cfg.replace(
+        hparams=cfg.hparams.__class__(
+            **{
+                **cfg.hparams.__dict__,
+                "epochs": 8,
+                "epoch_per_eval": 4,
+                "batch_size": 256,
+                "neg_range": neg_range,
+            }
+        ),
+        compute=cfg.compute.__class__(
+            **{
+                **cfg.compute.__dict__,
+                "mesh_shape": mesh,
+                "dense_threshold": dense_threshold,
+            }
+        ),
+    )
+
+
+@pytest.mark.parametrize(
+    "mesh,dense_threshold",
+    [((1, 1), 0.001), ((1, 1), 1.0), ((1, 2), 0.001)],
+    ids=["dense", "coo", "mesh-dense"],
+)
+def test_neg_range_reference_tail_items_receive_no_gradient(mesh, dense_threshold):
+    """Under neg_range='reference', items beyond the split's max id are never
+    drawn as negatives, so (having no edges either) their embeddings never
+    receive ANY gradient and stay bit-exact at init — the reference's
+    observable behavior. Under the default 'catalog' range the same rows move
+    (drawn as negatives w.h.p.). Covers the dense, CSR/COO, and sharded
+    sampler wirings."""
+    import jax
+
+    from lgcnhs_tpu.models.lightgcn import init_lightgcn
+
+    tail = 6
+    graph = _tail_graph(tail=tail)
+    max_id = int(max(graph.train.items.max(), graph.train.users.max(),
+                     graph.val.items.max(), graph.val.users.max()))
+    assert max_id < graph.n_items - tail  # the premise: a real tail exists
+
+    cfg = _neg_range_cfg("reference", mesh, dense_threshold)
+    # the exact init stream train_lightgcn uses
+    key = jax.random.PRNGKey(cfg.hparams.seed)
+    _, init_key = jax.random.split(key)
+    init = init_lightgcn(
+        init_key, graph.n_users, graph.n_items, cfg.hparams.embedding_dim
+    )
+
+    result = train_lightgcn(graph, cfg, save_artifacts=False)
+    got_tail = np.asarray(result.params.item_emb)[-tail:]
+    np.testing.assert_array_equal(got_tail, np.asarray(init.item_emb)[-tail:])
+    # trained rows DID move (training happened)
+    assert not np.allclose(
+        np.asarray(result.params.item_emb)[: graph.n_items - tail],
+        np.asarray(init.item_emb)[: graph.n_items - tail],
+    )
+
+    result_cat = train_lightgcn(
+        graph, _neg_range_cfg("catalog", mesh, dense_threshold),
+        save_artifacts=False,
+    )
+    assert not np.allclose(
+        np.asarray(result_cat.params.item_emb)[-tail:], got_tail
+    )
+
+
+def test_neg_range_reference_rejects_user_ids_beyond_catalog():
+    """When the split's max USER id >= n_items the reference's own sampler
+    would index items_emb out of range (e.g. ML-1M's 6040 users > 3706
+    items); we fail fast with the explanation instead."""
+    from lgcnhs_tpu.data.graph import EdgeSet, InteractionGraph
+
+    rng = np.random.default_rng(1)
+    eu = np.arange(30, dtype=np.int32)  # max user id 29 >= n_items=10
+    ei = rng.integers(0, 10, 30).astype(np.int32)
+    es = EdgeSet(eu, ei)
+    graph = InteractionGraph(30, 10, es, es, es, es)
+    with pytest.raises(ValueError, match="neg_range='reference'"):
+        train_lightgcn(graph, _neg_range_cfg("reference"), save_artifacts=False)
+
+
+def test_neg_range_unknown_value_rejected():
+    graph = _tail_graph()
+    with pytest.raises(ValueError, match="neg_range"):
+        train_lightgcn(graph, _neg_range_cfg("bogus"), save_artifacts=False)
