@@ -74,11 +74,14 @@ def main(argv=None) -> pd.DataFrame:
         regime in ("blocked", "sharded")
         and factored_fits(graph.n_users, graph.n_items, itemsize)
     )
-    if tall_ok and (mesh is None or regime == "factored"):
+    if tall_ok:
         # tall catalog: neither (I, I) operand (W_gen, S) can exist — the
         # W-free / S-free sweep flavor (ops/sweep.py); with a mesh the grid
         # fans out one point per device, same kernel, still no (I, I)
-        # anywhere (strictly better than the item-sharded layout here)
+        # anywhere (strictly better than the item-sharded layout here —
+        # including for blocked/sharded regimes the factored live set
+        # rescues: the per-device footprint of one grid point is exactly
+        # the single-chip live set factored_fits just checked)
         log.info(
             "lambda sweep: W-free flavor (no (I, I) operand; user-factored "
             "diffusion + direct Sorensen)%s",

@@ -161,8 +161,9 @@ def device_bf16_incidence(n_users: int, n_items: int, es: EdgeSet):
     R8[np.asarray(es.users), np.asarray(es.items)] = 1
     du = R8.sum(axis=1, dtype=np.int64)
     di = R8.sum(axis=0, dtype=np.int64)
-    dui = jnp.asarray(np.where(du > 0, 1.0 / np.sqrt(du), 0.0).astype(np.float32))
-    dii = jnp.asarray(np.where(di > 0, 1.0 / np.sqrt(di), 0.0).astype(np.float32))
+    with np.errstate(divide="ignore"):
+        dui = jnp.asarray(np.where(du > 0, 1.0 / np.sqrt(du), 0.0).astype(np.float32))
+        dii = jnp.asarray(np.where(di > 0, 1.0 / np.sqrt(di), 0.0).astype(np.float32))
     build = jax.jit(
         lambda r, a, b: (
             a[:, None] * r.astype(jnp.bfloat16) * b[None, :]

@@ -150,7 +150,7 @@ def sample_bpr_batch(
     return users, pos_items, negs
 
 
-@partial(jax.jit, static_argnames=("n_items", "n_retries"))
+@partial(jax.jit, static_argnames=("n_items", "n_retries", "reject_user_ids"))
 def sample_negatives_for_edges(
     key: jax.Array,
     edge_users: jnp.ndarray,  # (E,)
@@ -158,6 +158,7 @@ def sample_negatives_for_edges(
     pos_mask: jnp.ndarray,  # (U, I) bool — this split's positives, for rejection
     n_items: int,
     n_retries: int = 8,
+    reject_user_ids: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(users, pos_items, neg_items) covering EVERY edge exactly once, in
     edge order, with one rejected negative per edge.
@@ -175,11 +176,20 @@ def sample_negatives_for_edges(
     from ``[0, n_items)`` whereas torch-geometric's range is bounded by the
     max node id present in the split's edge matrix (``loss.py:58`` /
     ``evaluation.py:71-72``).
+
+    ``reject_user_ids=True`` additionally rejects candidates whose item id
+    EQUALS the edge's user id — ``calValLoss`` passes
+    ``contains_neg_self_loops=False`` (``evaluation.py:71``), which in the
+    bipartite r_mat id space forbids exactly that value coincidence (the
+    train-side ``sampleMiniBatch`` uses the default True and has no such
+    rejection). Only the ``hparams.neg_range='reference'`` wiring sets it.
     """
     E = edge_users.shape[0]
     cands = jax.random.randint(key, (n_retries, E), 0, n_items)
     pos_rows = pos_mask[edge_users]  # (E, I)
     collide = jnp.take_along_axis(pos_rows, cands.T, axis=1).T  # (R, E)
+    if reject_user_ids:
+        collide = collide | (cands == edge_users[None, :])
     first_ok = jnp.argmax(~collide, axis=0)
     negs = jnp.take_along_axis(cands, first_ok[None, :], axis=0)[0]
     return edge_users, edge_items, negs

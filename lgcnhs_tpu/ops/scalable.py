@@ -107,7 +107,7 @@ def sample_bpr_batch_csr(
     return users, pos_items, negs
 
 
-@partial(jax.jit, static_argnames=("n_items", "n_retries"))
+@partial(jax.jit, static_argnames=("n_items", "n_retries", "reject_user_ids"))
 def sample_negatives_for_edges_csr(
     key: jax.Array,
     edge_users: jnp.ndarray,  # (E,)
@@ -116,18 +116,23 @@ def sample_negatives_for_edges_csr(
     cols: jnp.ndarray,  # (Ec,) sorted item lists
     n_items: int,
     n_retries: int = 8,
+    reject_user_ids: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CSR flavor of ``models.lightgcn.sample_negatives_for_edges`` — every
     edge exactly once in order, one rejected negative each (the reference's
     ``calValLoss`` sampling, ``model/LightGCN/evaluation.py:68-77``), with
     membership tested by per-user binary search instead of a dense (U, I)
     ``pos_mask``. Same RNG draws as the dense flavor, so the two emit
-    bit-identical negative streams."""
+    bit-identical negative streams; ``reject_user_ids`` is the
+    ``contains_neg_self_loops=False`` rejection (see the dense flavor's
+    docstring)."""
     E = edge_users.shape[0]
     cands = jax.random.randint(key, (n_retries, E), 0, n_items)
     collide = _csr_contains(
         rowptr, cols, jnp.broadcast_to(edge_users[None, :], cands.shape), cands
     )
+    if reject_user_ids:
+        collide = collide | (cands == edge_users[None, :])
     first_ok = jnp.argmax(~collide, axis=0)
     negs = jnp.take_along_axis(cands, first_ok[None, :], axis=0)[0]
     return edge_users, edge_items, negs

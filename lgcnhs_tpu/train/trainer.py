@@ -163,8 +163,19 @@ def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str
     catalog area there — measured on-chip at 50k x 30k / 2M edges (v5e):
     dense-bf16 fwd+bwd 54 ms/step vs 71 ms for the (exact-f32) bucketed
     layout, while the f32 dense incidence (6 GB) wouldn't fit the budget
-    at all (docs/PERF.md, COO roofline section)."""
-    entry_bytes = 2.0 if getattr(compute, "dtype", "") == "bfloat16" else 4.0
+    at all (docs/PERF.md, COO roofline section).
+
+    The 2x bf16 expansion applies SINGLE-CHIP only: the mesh-dense branch
+    builds its sharded training/eval arrays host-side at f32/f64 width
+    (``shard_train_inputs`` + padded eval matrices) without the rung's
+    device-build/CSR-eval treatment, so a mesh run in the expanded band
+    would die in host allocation before sharding anything — with a mesh the
+    f32 budget stands and that band takes the edge-sharded COO path
+    (round-4 review finding)."""
+    single_chip = tuple(getattr(compute, "mesh_shape", (1, 1))) == (1, 1)
+    entry_bytes = (
+        2.0 if getattr(compute, "dtype", "") == "bfloat16" and single_chip else 4.0
+    )
     dense_bytes = entry_bytes * n_users * n_items
     density = n_edges / max(1.0, float(n_users) * n_items)
     if dense_bytes > DENSIFY_BUDGET_BYTES or density < compute.dense_threshold:
@@ -259,54 +270,74 @@ def make_coo_train_scan(optimizer, hp, n_users: int, n_items: int,
 
 
 def make_train_step(optimizer, hp, n_items: int, bf16_matmul: bool = False,
-                    use_pallas: bool = False, neg_hi: Optional[int] = None):
+                    use_pallas: bool = False, neg_hi: Optional[int] = None,
+                    csr_sampler: bool = False):
     """One jitted epoch: sample -> forward -> BPR -> Adam update. ``neg_hi``
     overrides the negative-candidate upper bound (defaults to ``n_items``;
-    ``hparams.neg_range='reference'`` passes the split-bounded range)."""
+    ``hparams.neg_range='reference'`` passes the split-bounded range).
+    ``csr_sampler=True`` swaps the dense (U, I) ``pos_mask`` rejection for
+    the CSR flavor (bit-identical triple stream, ``tests/test_scalable.py``)
+    — the step then takes ``(..., rowptr, cols)`` instead of
+    ``(..., pos_mask)``; the bf16-dense rung uses it so NOTHING in that
+    branch is O(U*I) beyond the bf16 incidence itself."""
     _hi = neg_hi if neg_hi is not None else n_items
+
+    def _update(params, opt_state, users, pos_items, neg_items, R_hat):
+        loss, grads = jax.value_and_grad(_loss_fn)(
+            params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers,
+            bf16_matmul, use_pallas,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    if csr_sampler:
+        from lgcnhs_tpu.ops.scalable import sample_bpr_batch_csr
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step_csr(params, opt_state, key, R_hat, edge_users,
+                           edge_items, rowptr, cols):
+            users, pos_items, neg_items = sample_bpr_batch_csr(
+                key, edge_users, edge_items, rowptr, cols, hp.batch_size, _hi
+            )
+            return _update(params, opt_state, users, pos_items, neg_items, R_hat)
+
+        return train_step_csr
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, R_hat, edge_users, edge_items, pos_mask):
         users, pos_items, neg_items = sample_bpr_batch(
             key, edge_users, edge_items, pos_mask, hp.batch_size, _hi
         )
-        loss, grads = jax.value_and_grad(_loss_fn)(
-            params, R_hat, users, pos_items, neg_items, hp.epsilon, hp.layers,
-            bf16_matmul, use_pallas,
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return _update(params, opt_state, users, pos_items, neg_items, R_hat)
 
     return train_step
 
 
 def make_train_scan(optimizer, hp, n_items: int, bf16_matmul: bool = False,
-                    use_pallas: bool = False, neg_hi: Optional[int] = None):
+                    use_pallas: bool = False, neg_hi: Optional[int] = None,
+                    csr_sampler: bool = False):
     """Multi-epoch train step: ``n_steps`` reference epochs (each = ONE
     minibatch step, ``model/LightGCN/train.py:125``) in a single jitted
     ``lax.scan``, amortizing the per-dispatch host/runtime overhead that
     dominates small steps. Per-epoch RNG keys are derived inside by the same
     ``fold_in(base_key, epoch)`` rule the per-step path uses, so the sample
     stream (and therefore training) is IDENTICAL to calling
-    ``make_train_step`` once per epoch."""
-    _hi = neg_hi if neg_hi is not None else n_items
+    ``make_train_step`` once per epoch. ``csr_sampler`` as in
+    ``make_train_step`` (trailing args become ``rowptr, cols``)."""
+    step_once = make_train_step(
+        optimizer, hp, n_items, bf16_matmul=bf16_matmul, use_pallas=use_pallas,
+        neg_hi=neg_hi, csr_sampler=csr_sampler,
+    )
 
     @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("n_steps",))
-    def train_scan(params, opt_state, base_key, epoch0, n_steps,
-                   R_hat, edge_users, edge_items, pos_mask):
+    def train_scan(params, opt_state, base_key, epoch0, n_steps, *step_rest):
         def body(carry, epoch):
             params, opt_state = carry
             step_key = jax.random.fold_in(base_key, epoch)
-            users, pos_items, neg_items = sample_bpr_batch(
-                step_key, edge_users, edge_items, pos_mask, hp.batch_size, _hi
+            params, opt_state, loss = step_once.__wrapped__(
+                params, opt_state, step_key, *step_rest
             )
-            loss, grads = jax.value_and_grad(_loss_fn)(
-                params, R_hat, users, pos_items, neg_items, hp.epsilon,
-                hp.layers, bf16_matmul, use_pallas,
-            )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return (optax.apply_updates(params, updates), opt_state), loss
+            return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), epoch0 + jnp.arange(n_steps)
@@ -447,6 +478,11 @@ def train_lightgcn(
             f"unknown hparams.neg_range {hp.neg_range!r} "
             "(expected 'catalog' or 'reference')"
         )
+    # calValLoss passes contains_neg_self_loops=False (evaluation.py:71):
+    # val candidates whose item id equals the edge's USER id are rejected.
+    # Part of the same opt-in quirk family; the train-side sampleMiniBatch
+    # uses the default (no such rejection).
+    _val_reject_uid = hp.neg_range == "reference"
 
     if mesh is not None and propagation == "dense":
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -534,7 +570,8 @@ def train_lightgcn(
             # every val edge exactly once, one rejected negative each
             # (calValLoss, evaluation.py:68-77) — NOT a bootstrap resample
             v_users, v_pos, v_neg = sample_negatives_for_edges(
-                vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val
+                vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val,
+                reject_user_ids=_val_reject_uid,
             )
             return val_loss_fn(
                 params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
@@ -613,7 +650,8 @@ def train_lightgcn(
             def val_loss_closure(params, vkey):
                 # every val edge exactly once (calValLoss, evaluation.py:68-77)
                 v_users, v_pos, v_neg = sample_negatives_for_edges(
-                    vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val
+                    vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val,
+                    reject_user_ids=_val_reject_uid,
                 )
                 return val_loss_fn(
                     params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
@@ -671,7 +709,7 @@ def train_lightgcn(
                 # every val edge exactly once (calValLoss, evaluation.py:68-77)
                 v_users, v_pos, v_neg = scalable.sample_negatives_for_edges_csr(
                     vkey, val_edge_users, val_edge_items, v_rowptr, v_cols,
-                    neg_hi_val,
+                    neg_hi_val, reject_user_ids=_val_reject_uid,
                 )
                 return _coo_val_loss(params, v_users, v_pos, v_neg, hp.layers)
 
@@ -714,17 +752,21 @@ def train_lightgcn(
             if propagation == "dense":
                 # the bf16-dense rung: dense (2-byte) TRAIN step with the
                 # CSR eval above — measured 20.3k examples/s at 50k x 30k
-                # (docs/PERF.md, "bf16-dense middle rung")
-                train_pos = jnp.asarray(pos_bool_matrix(U, I, graph.train))
+                # (docs/PERF.md, "bf16-dense middle rung"). Negative
+                # rejection runs on the CSR structures already in scope
+                # (bit-identical triple stream) — a dense (U, I) pos_mask
+                # here would be 1.5 GB of host+device bool at the rung's
+                # own scale, in the branch that promises nothing O(U*I)
+                # beyond the bf16 incidence (round-4 review finding).
                 train_step = make_train_step(
                     optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
-                    neg_hi=neg_hi_train,
+                    neg_hi=neg_hi_train, csr_sampler=True,
                 )
                 train_scan = make_train_scan(
                     optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
-                    neg_hi=neg_hi_train,
+                    neg_hi=neg_hi_train, csr_sampler=True,
                 )
-                step_args = lambda: (R_hat, edge_users, edge_items, train_pos)
+                step_args = lambda: (R_hat, edge_users, edge_items, rowptr, cols)
             elif mesh is not None:
                 from lgcnhs_tpu.parallel.sharding import (
                     make_sharded_coo_train_scan,

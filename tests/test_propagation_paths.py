@@ -25,6 +25,14 @@ def test_choose_propagation():
     bf16 = dataclasses.replace(compute, dtype="bfloat16")
     assert choose_propagation(50_000, 30_000, 2_000_000, bf16) == "dense"
     assert choose_propagation(200_000, 100_000, 5_000_000, bf16) == "coo"
+    # the bf16 expansion is SINGLE-CHIP only: the mesh-dense branch builds
+    # host-side f32/f64 (U, I) arrays the rung never densifies, so a mesh
+    # run in the expanded band keeps the f32 budget and takes the
+    # edge-sharded COO path (round-4 review finding)
+    bf16_mesh = dataclasses.replace(bf16, mesh_shape=(2, 4))
+    assert choose_propagation(50_000, 30_000, 2_000_000, bf16_mesh) == "coo"
+    # under the f32 budget, mesh-dense is unaffected
+    assert choose_propagation(1000, 2000, 100_000, bf16_mesh) == "dense"
 
 
 def test_coo_training_path_runs_and_learns():

@@ -1627,11 +1627,13 @@ def test_full_training_run_matches_reference_trainer(tmp_path, monkeypatch, flav
         t = train_tab_j[idx]
         return t[0], t[1], t[2]
 
-    def negs_stub(key, edge_users, edge_items, pos_mask, n_items, n_retries=8):
+    def negs_stub(key, edge_users, edge_items, pos_mask, n_items, n_retries=8,
+                  reject_user_ids=False):
         # narrow injection: production supplies the edge enumeration; ONLY
         # the per-edge negative draws are replaced. Assert the enumeration
         # is every val edge exactly once (any with-replacement resample,
         # duplication, or omission fails here).
+        assert not reject_user_ids  # default mode: no self-loop rejection
         eu_np = np.asarray(edge_users)
         ei_np = np.asarray(edge_items)
         order = np.lexsort((ei_np, eu_np))

@@ -182,3 +182,36 @@ def test_huge_graph_trains_without_dense_allocations(monkeypatch):
     for u in urows:
         for it in rec[u]:
             assert (int(u), int(it)) not in seen
+
+
+def test_all_edges_sampler_reject_user_ids_flag():
+    """reject_user_ids reproduces calValLoss's contains_neg_self_loops=False
+    (evaluation.py:71): no emitted negative equals its edge's user id, in
+    both sampler flavors, which stay bit-identical to each other. Default
+    (False) streams are unchanged."""
+    from lgcnhs_tpu.models.lightgcn import sample_negatives_for_edges
+    from lgcnhs_tpu.ops.scalable import sample_negatives_for_edges_csr
+
+    es = _edges(seed=9)
+    rowptr, cols = user_csr(U, es)
+    pos = pos_bool_matrix(U, I, es)
+    eu, ei = jnp.asarray(es.users), jnp.asarray(es.items)
+    saw_collision = False
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        _, _, base = sample_negatives_for_edges(key, eu, ei, jnp.asarray(pos), I)
+        du, dp, dn = sample_negatives_for_edges(
+            key, eu, ei, jnp.asarray(pos), I, reject_user_ids=True
+        )
+        dn_np = np.asarray(dn)
+        assert not (dn_np == es.users).any()
+        assert not pos[np.asarray(du), dn_np].any()
+        saw_collision |= bool((np.asarray(base) == es.users).any())
+        _, _, sn = sample_negatives_for_edges_csr(
+            key, eu, ei, jnp.asarray(rowptr), jnp.asarray(cols), I,
+            reject_user_ids=True,
+        )
+        np.testing.assert_array_equal(dn_np, np.asarray(sn))
+    # the flag must have actually rejected something across the seeds
+    # (U ~ I here, so value coincidences are common in the base stream)
+    assert saw_collision

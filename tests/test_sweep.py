@@ -352,3 +352,37 @@ def test_find_lambda_blocked_subcase_rescued_by_tall_flavor(tmp_path, monkeypatc
     )
     assert calls, "tall rescue did not run"
     assert np.isfinite(df[["P", "R", "NDCG", "H", "I"]].to_numpy()).all()
+
+
+def test_find_lambda_cli_mesh_prefers_tall_when_factored_fits(tmp_path, monkeypatch):
+    """With a mesh, blocked/sharded regimes whose factored live set fits one
+    chip take the grid-parallel W-free sweep (no (I, I) operand per device),
+    not the item-sharded layout (round-4 review finding: the old gate only
+    allowed the 'factored' regime through)."""
+    import lgcnhs_tpu.cli.find_lambda as fl
+    import lgcnhs_tpu.ops.diffusion as diff
+
+    # U=60, I=70, f32: dense live set 2 I^2 + 3 U I = 89.6 kB > 70 kB budget;
+    # 2U >= I skips the "factored" FLOPs heuristic -> regime "blocked";
+    # factored live set U^2 + 3 U I = 64.8 kB <= budget -> tall rescue holds
+    monkeypatch.setattr(diff, "DENSE_TRANSFER_BUDGET_BYTES", 70_000)
+    from lgcnhs_tpu.ops.diffusion import choose_diffusion, factored_fits
+    assert choose_diffusion(60, 70, 4) == "blocked"
+    assert factored_fits(60, 70, 4)
+
+    calls = []
+    real = fl.sharded_lambda_sweep_tall
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fl, "sharded_lambda_sweep_tall", spy)
+    df = fl.main(
+        ["--dataset", "synthetic", "--env", "dev", "--workdir", str(tmp_path),
+         "--users", "60", "--items", "70", "--interactions", "900",
+         "--epochs", "4", "--step", "0.5", "--k", "5", "--mesh", "1,2"]
+    )
+    assert calls, "mesh + rescued-tall regime did not take the W-free sweep"
+    assert len(df) == 3
+    assert np.isfinite(df[["P", "R", "NDCG", "H", "I"]].to_numpy()).all()
