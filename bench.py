@@ -362,12 +362,17 @@ def bench_train_dense_rung(devices, hp, n_steps: int = 60, chunk: int = 20) -> f
     ei = rng.integers(0, I, E).astype(np.int32)
     put = lambda x: jax.device_put(jnp.asarray(x), dev)
 
-    from lgcnhs_tpu.data.graph import EdgeSet, device_bf16_incidence, pos_bool_matrix
+    from lgcnhs_tpu.data.graph import EdgeSet, device_bf16_incidence
+    from lgcnhs_tpu.ops.scalable import user_csr
 
     es = EdgeSet(eu, ei)
     R16 = device_bf16_incidence(U, I, es)  # the trainer's own rung builder
     R16.block_until_ready()
-    pos = put(pos_bool_matrix(U, I, es))
+    # the production rung samples via CSR (trainer csr_sampler=True): no
+    # (U, I) pos_mask anywhere. Measured vs the dense-mask flavor at this
+    # scale: 52.4 vs 50.5 ms/step (+3.7%) for -3 GB of host+device bool.
+    rowptr_np, cols_np = user_csr(U, es)
+    rowptr, cols = put(rowptr_np), put(cols_np)
 
     eu_j, ei_j = put(eu), put(ei)
     params = jax.tree.map(put, init_lightgcn(jax.random.PRNGKey(0), U, I, EMBED_DIM))
@@ -375,19 +380,20 @@ def bench_train_dense_rung(devices, hp, n_steps: int = 60, chunk: int = 20) -> f
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = jax.tree.map(put, optimizer.init(params))
-    scan = make_train_scan(optimizer, hp, I, bf16_matmul=True, use_pallas=False)
+    scan = make_train_scan(optimizer, hp, I, bf16_matmul=True, use_pallas=False,
+                           csr_sampler=True)
     key = jax.device_put(jax.random.PRNGKey(7), dev)
 
     chunk = min(chunk, n_steps)
     params, opt_state, loss = scan(
-        params, opt_state, key, 0, chunk, R16, eu_j, ei_j, pos
+        params, opt_state, key, 0, chunk, R16, eu_j, ei_j, rowptr, cols
     )
     loss.block_until_ready()
     state = {"p": params, "o": opt_state, "e": chunk}
 
     def run():
         p, o, loss = scan(state["p"], state["o"], key, state["e"], chunk,
-                          R16, eu_j, ei_j, pos)
+                          R16, eu_j, ei_j, rowptr, cols)
         state["p"], state["o"], state["e"] = p, o, state["e"] + chunk
         return loss
 

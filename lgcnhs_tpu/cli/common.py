@@ -78,6 +78,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "the TPU; 'auto' keeps the ambient default)",
     )
     p.add_argument(
+        "--dtype",
+        choices=["float32", "bfloat16"],
+        default=None,
+        help="compute dtype: float32 = the exact parity path (HIGHEST MXU "
+        "precision; dev default), bfloat16 = mixed precision (bf16 matmul "
+        "inputs, f32 params/optimizer; prod default)",
+    )
+    p.add_argument(
         "--neg-range",
         choices=["catalog", "reference"],
         default=None,
@@ -165,6 +173,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["compute.scan_chunk"] = args.scan_chunk
     if getattr(args, "neg_range", None) is not None:
         overrides["hparams.neg_range"] = args.neg_range
+    if getattr(args, "dtype", None) is not None:
+        overrides["compute.dtype"] = args.dtype
     if getattr(args, "quantile", None) is not None:
         overrides["preprocessing.quantile_start"] = args.quantile[0]
         overrides["preprocessing.quantile_end"] = args.quantile[1]

@@ -254,6 +254,12 @@ def load_config(
         pre_kwargs.update(quantile_start=1.0, quantile_end=0.0)
 
     hp = HyperParameters(epochs=epochs, lambda_=_lambda_for(model, env))
+    # prod preset = mixed precision (bf16 matmul inputs, f32 params/optimizer
+    # state — the TPU production norm; trained-model parity sits within the
+    # run-to-run-variance bar either way, docs/PARITY.md). dev keeps the f32
+    # HIGHEST parity dtype the differential suite pins; either is one
+    # `compute.dtype` override (CLI `--dtype`) away.
+    compute = ComputeConfig(dtype="bfloat16" if env == "prod" else "float32")
     top_kwargs: Dict[str, Any] = {}
     if dataset == "movielens1m":
         # Synthetic stand-in scale when the raw ml-1m files are absent:
@@ -270,6 +276,7 @@ def load_config(
         workdir=workdir,
         preprocessing=PreprocessingConfig(**pre_kwargs),
         hparams=hp,
+        compute=compute,
         k=k,
         **top_kwargs,
     )

@@ -116,6 +116,10 @@ def serve_fused(
 
 @partial(jax.jit, static_argnames=("k",))
 def _serve_unfused(ue, ie, A, W, seen, k):
+    # native MXU precision, matching the fused kernel's deliberate serving
+    # contract (see ops/pallas/fusion_serve.py: HIGHEST blows VMEM / costs
+    # 7x in-kernel); the two flavors are tie-equivalent, pinned on-chip by
+    # tests/tpu_smoke.py
     G = jnp.dot(ue, ie.T, preferred_element_type=jnp.float32)
     F = jnp.dot(A, W, preferred_element_type=jnp.float32)
     fused = jnp.where(seen, -3.0e38, G * F)

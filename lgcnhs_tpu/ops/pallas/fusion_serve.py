@@ -71,6 +71,16 @@ def _fusion_kernel(u_ref, it_ref, a_ref, w_ref, seen_ref, idx_ref, val_ref, scor
     # seen items from the list (``recommend.py:44``) rather than relying on
     # the -1024 G mask, whose product with F=0 would be 0 and outrank real
     # negative fused scores.
+    # Native MXU precision (single-pass: f32 operands truncate to bf16,
+    # accumulation f32) — DELIBERATE for this high-QPS flavor. HIGHEST was
+    # measured on-chip (round 4): the 3-pass emulation's operand-split
+    # scratch blows the kernel past VMEM at ML-1M scale (17.2 MB > 16 MB)
+    # and costs 7x at item_tile=128 where it does fit. Consequence
+    # (tests/tpu_smoke.py): ~1% of k=100 tail slots are value-equal tie
+    # swaps vs the XLA chain. Exact-parity recommendation flows use the
+    # spread ranker (ops/topk.rank_exclude_seen) or retrieve_topk, whose
+    # kernel runs HIGHEST (its contraction is only D-long — no such
+    # VMEM/throughput cliff).
     g = jnp.dot(u_ref[:], it_ref[:].T, preferred_element_type=jnp.float32)
     f = jnp.dot(a_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     scores[:, pl.ds(tile * tile_w, tile_w)] = jnp.where(

@@ -75,7 +75,7 @@ def fits_vmem_binary(n_users: int, n_items: int, d: int, bf16: bool = False) -> 
     return _pick_tile(n_users, n_items, d, 1, s) is not None
 
 
-def _dual_kernel(r_ref, x_ref, y_ref, out_u_ref, out_i_ref):
+def _dual_kernel(r_ref, x_ref, y_ref, out_u_ref, out_i_ref, *, precision):
     r = r_ref[:]
     if r.dtype != x_ref.dtype:
         # int8 binary incidence: promote the tile once in VMEM, reuse it for
@@ -83,11 +83,13 @@ def _dual_kernel(r_ref, x_ref, y_ref, out_u_ref, out_i_ref):
         r = r.astype(x_ref.dtype)
     # out_u tile: R_tile @ X  — contracting R dim 1 with X dim 0
     out_u_ref[:] = jax.lax.dot_general(
-        r, x_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        r, x_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )
     # out_i accumulator: R_tile^T @ Y_tile — contracting R dim 0 with Y dim 0
     contrib = jax.lax.dot_general(
-        r, y_ref[:], (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        r, y_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )
 
     @pl.when(pl.program_id(0) == 0)
@@ -108,13 +110,25 @@ def _dual_impl(R, X, Y, interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
             f"dual_matmul does not fit VMEM at U={U}, I={I}, D={D}; "
             "use the XLA propagation path"
         )
+    # f32 operands = the parity path: run the MXU at HIGHEST (3-pass bf16
+    # emulation) exactly like the XLA lightgcn_propagate — the default
+    # single-pass matmul truncates f32 inputs to bf16 and silently degraded
+    # the f32 path whenever this kernel dispatched (caught by
+    # tests/tpu_smoke.py on-chip; the path stays bandwidth-bound, so the
+    # extra MXU passes are largely hidden behind the R reads). bf16
+    # operands are exact in one pass; the speed path is unchanged.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if X.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     U_pad, I_pad = _pad_to(U, tile_u), _pad_to(I, 128)
     Rp = jnp.pad(R, ((0, U_pad - U), (0, I_pad - I)))
     Xp = jnp.pad(X, ((0, I_pad - I), (0, 0)))
     Yp = jnp.pad(Y, ((0, U_pad - U), (0, 0)))
 
     out_u, out_i = pl.pallas_call(
-        _dual_kernel,
+        partial(_dual_kernel, precision=precision),
         grid=(U_pad // tile_u,),
         in_specs=[
             pl.BlockSpec((tile_u, I_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -98,10 +98,15 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
     # when the resident state fits VMEM, the dual-product Pallas kernel
     # computes both propagation half-steps per read of R_hat, halving the
     # HBM traffic of the bandwidth-bound forward AND backward
-    # (ops/pallas/propagation.py). XLA path elsewhere and for huge catalogs.
-    # R_hat may instead be the factored triple (R int8, du^-1/2, di^-1/2)
-    # from data/graph.binary_incidence_factors: the streamed incidence is
-    # then 1 byte/entry (half of bf16) with exact 0/1 values.
+    # (ops/pallas/propagation.py). The kernel dispatches on the bf16 SPEED
+    # path only: at f32 the MXU must run HIGHEST (the parity precision
+    # rule), where the measured full train step is FASTER through XLA
+    # (2.52 vs 3.25 ms at ML-1M scale — the kernel's round-3 f32 win was
+    # an artifact of its matmuls silently truncating to bf16, caught by
+    # tests/tpu_smoke.py). R_hat may instead be the factored triple
+    # (R int8, du^-1/2, di^-1/2) from data/graph.binary_incidence_factors:
+    # the streamed incidence is then 1 byte/entry (half of bf16) with exact
+    # 0/1 values.
     D = params.user_emb.shape[1]
     from lgcnhs_tpu.ops.pallas.propagation import (
         fits_vmem,
@@ -113,19 +118,19 @@ def _loss_fn(params, R_hat, users, pos_items, neg_items, epsilon, n_layers,
     if isinstance(R_hat, tuple):
         R8, du_inv, di_inv = R_hat
         U, I = R8.shape
-        if use_pallas and fits_vmem_binary(U, I, D, bf16_matmul):
+        if use_pallas and bf16_matmul and fits_vmem_binary(U, I, D, True):
             u_final, i_final = lightgcn_propagate_pallas_binary(
                 params.user_emb, params.item_emb, R8, du_inv, di_inv,
-                n_layers, bf16_matmul,
+                n_layers, True,
             )
         else:  # correctness fallback; callers pick the tuple only on TPU
             dense = du_inv[:, None] * R8.astype(du_inv.dtype) * di_inv[None, :]
             u_final, i_final = lightgcn_propagate(
                 params.user_emb, params.item_emb, dense, n_layers, bf16_matmul
             )
-    elif use_pallas and fits_vmem(*R_hat.shape, D, bf16_matmul):
+    elif use_pallas and bf16_matmul and fits_vmem(*R_hat.shape, D, True):
         u_final, i_final = lightgcn_propagate_pallas(
-            params.user_emb, params.item_emb, R_hat, n_layers, bf16_matmul
+            params.user_emb, params.item_emb, R_hat, n_layers, True
         )
     else:
         u_final, i_final = lightgcn_propagate(
@@ -581,10 +586,13 @@ def train_lightgcn(
         from lgcnhs_tpu.data.graph import binary_incidence_factors
         from lgcnhs_tpu.ops.pallas.propagation import fits_vmem_binary
 
-        if _pallas and fits_vmem_binary(U, I, hp.embedding_dim, _bf16):
+        if _pallas and _bf16 and fits_vmem_binary(U, I, hp.embedding_dim, True):
             # factored int8 incidence: the streamed operand of the bandwidth-
             # bound propagation is 1 byte/entry (vs 2 bf16 / 4 f32), values
-            # exact (see lightgcn_propagate_pallas_binary)
+            # exact (see lightgcn_propagate_pallas_binary). Speed (bf16)
+            # path only — the f32 parity path always takes the XLA HIGHEST
+            # propagation (faster than any HIGHEST Pallas flavor; see
+            # _loss_fn)
             R8, du_inv, di_inv = binary_incidence_factors(U, I, graph.train)
             R_hat = (jnp.asarray(R8), jnp.asarray(du_inv), jnp.asarray(di_inv))
         elif _bf16 and 4.0 * U * I > HOST_INCIDENCE_BUILD_BYTES:
