@@ -156,7 +156,8 @@ DENSIFY_BUDGET_BYTES = 4e9
 HOST_INCIDENCE_BUILD_BYTES = 2e9
 
 
-def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str:
+def choose_propagation(n_users: int, n_items: int, n_edges: int, compute,
+                       single_chip: Optional[bool] = None) -> str:
     """"dense" vs "coo" forward path. Dense (MXU matmul on the full R_hat)
     wins whenever the incidence fits — the MXU eats the zeros for free at
     recsys densities. COO (bucketed gather) is the memory-scalable path:
@@ -176,8 +177,12 @@ def choose_propagation(n_users: int, n_items: int, n_edges: int, compute) -> str
     device-build/CSR-eval treatment, so a mesh run in the expanded band
     would die in host allocation before sharding anything — with a mesh the
     f32 budget stands and that band takes the edge-sharded COO path
-    (round-4 review finding)."""
-    single_chip = tuple(getattr(compute, "mesh_shape", (1, 1))) == (1, 1)
+    (round-4 review finding). ``single_chip`` lets callers that have
+    RESOLVED the mesh pass the truth (mesh_shape=(0,0) "auto" on a
+    one-device host resolves to no mesh and is single-chip); default is
+    the mesh_shape==(1,1) proxy."""
+    if single_chip is None:
+        single_chip = tuple(getattr(compute, "mesh_shape", (1, 1))) == (1, 1)
     entry_bytes = (
         2.0 if getattr(compute, "dtype", "") == "bfloat16" and single_chip else 4.0
     )
@@ -411,8 +416,6 @@ def train_lightgcn(
         params = init_lightgcn(init_key, U, I, hp.embedding_dim, dtype)
         model_name = "LightGCN"
 
-    # static device-resident graph tensors
-    propagation = choose_propagation(U, I, graph.train.n_edges, cfg.compute)
     _bf16 = cfg.compute.dtype == "bfloat16"
     _pallas = cfg.compute.use_pallas and jax.default_backend() == "tpu"
 
@@ -426,15 +429,25 @@ def train_lightgcn(
         from lgcnhs_tpu.runtime.mesh import mesh_from_config
 
         mesh = mesh_from_config(cfg.compute)
-        if mesh is not None:
-            # dense graphs shard the (U, I) incidence and the tables; COO
-            # graphs shard the edge list with psummed partial segment-sums
-            # (parallel.sharding.make_sharded_coo_train_step) — mesh and
-            # large-graph compose (VERDICT r2 item 3).
-            log.info(
-                "training %s on mesh %s (%s propagation)", model_name,
-                dict(zip(mesh.axis_names, mesh.devices.shape)), propagation,
-            )
+
+    # propagation is chosen AFTER mesh resolution: the bf16 densify
+    # expansion is single-chip only, and "single chip" is whether a mesh
+    # actually resolved — mesh_shape=(0,0) ("auto") on a one-device host
+    # resolves to None and must keep the bf16-dense rung (round-4 review
+    # finding; the (1,1)-proxy default stands for callers without a
+    # resolved mesh).
+    propagation = choose_propagation(
+        U, I, graph.train.n_edges, cfg.compute, single_chip=mesh is None
+    )
+    if mesh is not None:
+        # dense graphs shard the (U, I) incidence and the tables; COO
+        # graphs shard the edge list with psummed partial segment-sums
+        # (parallel.sharding.make_sharded_coo_train_step) — mesh and
+        # large-graph compose (VERDICT r2 item 3).
+        log.info(
+            "training %s on mesh %s (%s propagation)", model_name,
+            dict(zip(mesh.axis_names, mesh.devices.shape)), propagation,
+        )
 
     optimizer = make_optimizer(hp)
 

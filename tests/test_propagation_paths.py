@@ -93,3 +93,17 @@ def test_bf16_dense_rung_trains_with_csr_eval(monkeypatch):
         np.asarray(rung.params.user_emb), np.asarray(base.params.user_emb),
         rtol=0.05, atol=5e-3,
     )
+
+
+def test_choose_propagation_auto_mesh_on_single_device():
+    """mesh_shape=(0,0) ('auto') resolves to NO mesh on a one-device host
+    (mesh_from_config returns None); the trainer passes single_chip=True
+    and the bf16 densify expansion must apply (round-4 review finding)."""
+    compute = ComputeConfig(dtype="bfloat16", mesh_shape=(0, 0))
+    # proxy default treats any non-(1,1) shape as multi-chip
+    assert choose_propagation(50_000, 30_000, 2_000_000, compute) == "coo"
+    # resolved truth overrides the proxy
+    assert (
+        choose_propagation(50_000, 30_000, 2_000_000, compute, single_chip=True)
+        == "dense"
+    )
