@@ -36,6 +36,7 @@ any timer starts.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -774,20 +775,57 @@ def main() -> None:
             ref_iter_s * LAMBDA_POINTS / sweep_s, 1
         )
 
-    extra["stats"] = STATS  # min/median/spread per timed region
+    # On-chip kernel-contract smoke (VERDICT r4 #7): pin the Pallas-vs-XLA
+    # contracts in every round's driver record — the round-4 f32-truncation
+    # bug showed why. Runs in THIS process (handshake already paid).
+    import jax as _jax
 
-    print(
-        json.dumps(
-            {
-                "metric": "lightgcn_train_examples_per_sec_ml1m",
-                "value": round(tpu_rate, 1),
-                "unit": "examples/s/chip",
-                "vs_baseline": round(vs_baseline, 2),
-                "dataset": provenance,
-                "extra": extra,
-            }
-        )
-    )
+    if _jax.default_backend() == "tpu":
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+        try:
+            from tpu_smoke import run_checks
+
+            fails = run_checks(emit=log)
+            extra["kernel_contracts"] = "pass" if not fails else fails
+        except Exception as e:  # a crash is itself a contract failure
+            extra["kernel_contracts"] = [f"smoke crashed: {type(e).__name__}: {e}"]
+    else:
+        extra["kernel_contracts"] = "skipped (not tpu)"
+
+    print(format_record(tpu_rate, vs_baseline, provenance, extra))
+
+
+def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str:
+    """Build the driver-facing JSON line, guaranteed parseable and compact.
+
+    The driver captures only the last ~2000 chars of stdout and parses the
+    final line (round 4's inline stats blew that budget: BENCH_r04.json
+    "parsed": null). Bulky per-region stats go to a side file; the printed
+    line stays compact and is hard-bounded under 1500 chars."""
+    record = {
+        "metric": "lightgcn_train_examples_per_sec_ml1m",
+        "value": round(tpu_rate, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs_baseline, 2),
+        "dataset": provenance,
+        "extra": extra,
+    }
+    out_dir = out_dir or os.path.dirname(os.path.abspath(__file__))
+    stats_path = os.path.join(out_dir, "BENCH_STATS.json")
+    with open(stats_path, "w") as f:
+        json.dump({"stats": STATS, "record": record}, f, indent=1)
+    extra["stats_file"] = "BENCH_STATS.json"
+    line = json.dumps(record)
+    if len(line) > 1500:  # last-resort: drop extras until the contract holds
+        log(f"WARNING: bench line {len(line)} chars > 1500; trimming extras")
+        for key in list(extra.keys())[::-1]:
+            if key in ("kernel_contracts", "stats_file"):
+                continue
+            del extra[key]
+            line = json.dumps(record)
+            if len(line) <= 1500:
+                break
+    return line
 
 
 if __name__ == "__main__":

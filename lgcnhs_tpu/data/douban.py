@@ -24,9 +24,12 @@ import pandas as pd
 
 from lgcnhs_tpu.config import Config
 from lgcnhs_tpu.data.features import (
+    clean_genres,
     duration_bucket,
+    language_codes,
     multi_hot,
     one_hot,
+    region_codes,
     text_embeddings,
     year_bucket,
 )
@@ -35,14 +38,19 @@ from lgcnhs_tpu.data.ratings import RatingSplits, prepare_ratings
 from lgcnhs_tpu.runtime.logging import get_logger, stage_timer
 
 N_DURATION_BUCKETS = 6  # durationMap values 1..6 (handleFeature.py:147-164)
-N_YEAR_BUCKETS = 7  # yearMap values 0..6 (handleFeature.py:39-59)
+# yearMap emits 0..6, but the Douban path fillna(0)s missing years BEFORE the
+# map so yearMap(0) -> 1 and the 0 sentinel is unreachable (handleDouban.py:
+# 112-113); codes are 1..6 -> a 6-wide block, matching the reference's
+# get_dummies width when (as on real Douban data) every bucket occurs.
+N_YEAR_BUCKETS = 6
 
 
 def _split_multi(series: pd.Series, pattern: str) -> list:
-    return [
-        [t for t in re.split(pattern, str(v)) if t] if pd.notna(v) else []
-        for v in series
-    ]
+    """``series.fillna("").str.split(pattern)`` exactly (the reference's
+    split idiom, ``handleDouban.py:87-106``): empty/NaN cells yield ``['']``
+    — the empty token is KEPT, because the reference's downstream maps see it
+    (it becomes an MLB ``''`` genre class / an 'other' language code)."""
+    return [re.split(pattern, str(v) if pd.notna(v) else "") for v in series]
 
 
 def douban_user_features(users: pd.DataFrame, title_dim: int = 3):
@@ -56,12 +64,24 @@ def douban_item_features(
 ):
     """(raw movie ids, concatenated feature rows)
     (``handleDouban.py:60-157``)."""
-    genres = _split_multi(items["GENRES"], r"[ /]")
-    languages = _split_multi(
-        items["LANGUAGES"].astype(str).str.replace(" ", ""), r"[/|]"
-    )
-    regions = _split_multi(items["REGIONS"], r"[/]")
+    # Split exactly as the reference (handleDouban.py:87-106), then apply the
+    # reference's cleaning maps (handleFeature.py:62-144) BEFORE multi-hot:
+    # genres normalize traditional/English labels to the simplified canon;
+    # languages/regions collapse to int codes {1,2,3} (+ the 0 empty
+    # sentinel, unreachable via this split — see features.language_codes).
+    genres = [clean_genres(row) for row in _split_multi(items["GENRES"], r"[ /]")]
+    languages = [
+        language_codes(row)
+        for row in _split_multi(
+            items["LANGUAGES"].fillna("").astype(str).str.replace(" ", ""),
+            r"[/ |]",
+        )
+    ]
+    regions = [region_codes(row) for row in _split_multi(items["REGIONS"], r"[/]")]
 
+    # MultiLabelBinarizer fits classes as the sorted union of observed labels
+    # (str-lexicographic for genres — including '' when empty cells exist —
+    # and numeric for the int codes), matching handleDouban.py:121-127.
     genre_vocab = sorted({g for row in genres for g in row})
     lang_vocab = sorted({l for row in languages for l in row})
     region_vocab = sorted({r for row in regions for r in row})
@@ -79,9 +99,10 @@ def douban_item_features(
     # missing years: the reference's Douban path does fillna(0) then
     # yearMap(0) -> bucket 1 (int(0) < 1970, handleDouban.py:112-113);
     # the yearMap("nan") -> 0 sentinel only fires on MovieLens, whose
-    # astype(str) yields the literal string "nan" (handleMovielens.py)
+    # astype(str) yields the literal string "nan" (handleMovielens.py).
+    # Codes 1..6 shifted to columns 0..5 (see N_YEAR_BUCKETS note).
     year_oh = np.stack(
-        [one_hot(year_bucket(y), N_YEAR_BUCKETS) for y in years]
+        [one_hot(year_bucket(y) - 1, N_YEAR_BUCKETS) for y in years]
     ).astype(np.float32)
 
     name_emb = text_embeddings(items["NAME"].astype(str).tolist(), title_dim)

@@ -81,6 +81,76 @@ def duration_bucket(minutes: float) -> int:
     return 5
 
 
+# ---- Douban label cleaning (handleFeature.py:62-144) ----
+
+#: ``genreCleanMap``'s replacement dict (``handleFeature.py:69-98``):
+#: traditional-Chinese and English genre labels normalized to the simplified
+#: Chinese canon BEFORE multi-hot encoding, so e.g. 動畫/Animation/动画
+#: collapse to one column instead of fragmenting into three. The mapping
+#: values are the reference's spec, transcribed verbatim as data.
+GENRE_CLEAN_MAP: Dict[str, str] = {
+    "動畫": "动画",
+    "Animation": "动画",
+    "音樂": "音乐",
+    "Music": "音乐",
+    "動作": "动作",
+    "Action": "动作",
+    "兒童": "儿童",
+    "Kids": "儿童",
+    "紀錄片": "纪录片",
+    "Documentary": "纪录片",
+    "歷史": "历史",
+    "History": "历史",
+    "喜劇": "喜剧",
+    "Comedy": "喜剧",
+    "懸疑": "悬疑",
+    "Mystery": "悬疑",
+    "傳記": "传记",
+    "Biography": "传记",
+    "News": "传记",
+    "愛情": "爱情",
+    "Romance": "爱情",
+    "驚悚": "惊悚",
+    "Thriller": "惊悚",
+    "惊栗": "惊悚",
+    "劇情": "剧情",
+    "Talk-Show": "脱口秀",
+    "Reality-TV": "真人秀",
+    "Drama": "戏曲",
+    "Adult": "成人",
+}
+
+
+def clean_genres(labels: Sequence[str]) -> List[str]:
+    """Reference ``genreCleanMap`` (``handleFeature.py:62-100``): per-label
+    dict replacement, unknown labels (including the ``''`` empty token that
+    splitting an empty GENRES cell produces) pass through unchanged."""
+    return [GENRE_CLEAN_MAP.get(label, label) for label in labels]
+
+
+def language_codes(labels: Sequence[str]) -> List[int]:
+    """Reference ``languageMap`` (``handleFeature.py:102-122``): collapse
+    language labels to codes {1: 汉语普通话, 2: 英语, 3: other}, deduplicated.
+    An EMPTY list returns the ``[0]`` sentinel — note that through the
+    reference's own pipeline this branch is unreachable (splitting an empty
+    cell yields ``['']``, whose lone ``''`` label codes to 3), so real Douban
+    language blocks are over classes ⊆ {1,2,3}. The reference returns
+    ``list(set(...))`` (arbitrary order); we sort — MultiLabelBinarizer
+    semantics are order-insensitive."""
+    if len(labels) == 0:
+        return [0]
+    return sorted({1 if l == "汉语普通话" else 2 if l == "英语" else 3 for l in labels})
+
+
+def region_codes(labels: Sequence[str]) -> List[int]:
+    """Reference ``regionMap`` (``handleFeature.py:124-144``): codes
+    {1: 中国大陆, 2: 美国, 3: other}; same empty-sentinel and ordering
+    semantics as :func:`language_codes`."""
+    if len(labels) == 0:
+        return [0]
+    return sorted({1 if l == "中国大陆" else 2 if l == "美国" else 3 for l in labels})
+
+
 def one_hot(index: int, size: int) -> List[int]:
     v = [0] * size
     if 0 <= index < size:

@@ -117,6 +117,18 @@ def _dual_impl(R, X, Y, interpret: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
     # tests/tpu_smoke.py on-chip; the path stays bandwidth-bound, so the
     # extra MXU passes are largely hidden behind the R reads). bf16
     # operands are exact in one pass; the speed path is unchanged.
+    if X.dtype != Y.dtype or (
+        jnp.issubdtype(R.dtype, jnp.floating) and R.dtype != X.dtype
+    ):
+        # the precision gate below keys on X.dtype: a mixed-dtype call (e.g.
+        # f32 R with bf16 X/Y) would pick DEFAULT and silently truncate the
+        # f32 operand in-kernel — the exact failure class the gate exists to
+        # prevent (advisor r4 #1). int8 R is the binary-incidence path and
+        # legitimately differs.
+        raise ValueError(
+            f"dual_matmul operand dtypes must agree (got R={R.dtype}, "
+            f"X={X.dtype}, Y={Y.dtype}); cast consistently before calling"
+        )
     precision = (
         jax.lax.Precision.HIGHEST
         if X.dtype == jnp.float32

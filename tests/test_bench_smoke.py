@@ -62,3 +62,27 @@ def test_bench_lambda_sweep_row(monkeypatch):
     assert ours_s > 0
     if ref_iter_s is not None:  # /root/reference mounted
         assert ref_iter_s > 0
+
+
+def test_format_record_driver_contract(tmp_path, monkeypatch):
+    """The printed bench line must stay parseable within the driver's 2000-char
+    stdout-tail capture (BENCH_r04 "parsed": null regression): final line
+    < 1500 chars, valid JSON, stats routed to the side file."""
+    import json
+
+    bench.STATS.clear()
+    bench.STATS.update(
+        {f"region_{i}": {"min_s": 0.1, "median_s": 0.2, "rel_spread": 0.01, "n": 5}
+         for i in range(40)}  # bulky enough to blow 1500 chars if inlined
+    )
+    extra = {f"metric_{i}": 123456.7 for i in range(20)}
+    extra["kernel_contracts"] = "skipped (not tpu)"
+    line = bench.format_record(1000.0, 2.0, "synthetic", extra, out_dir=str(tmp_path))
+    assert len(line) < 1500
+    rec = json.loads(line)
+    assert rec["metric"] == "lightgcn_train_examples_per_sec_ml1m"
+    assert rec["extra"]["kernel_contracts"] == "skipped (not tpu)"
+    assert rec["extra"]["stats_file"] == "BENCH_STATS.json"
+    assert "stats" not in rec["extra"]
+    side = json.load(open(tmp_path / "BENCH_STATS.json"))
+    assert "region_0" in side["stats"]

@@ -140,9 +140,9 @@ def test_douban_ingestion(tmp_path):
     assert splits.n_items <= 25
     assert uf.shape == (splits.n_users, 3)  # nickname embedding dim 3
     # item features: name(3) + genres + langs + duration(6) + story(20) +
-    # regions + year(7)
+    # regions + year(6)
     assert itf.shape[0] == splits.n_items
-    assert itf.shape[1] >= 3 + 1 + 1 + 6 + 20 + 1 + 7
+    assert itf.shape[1] >= 3 + 1 + 1 + 6 + 20 + 1 + 6
     assert np.isfinite(itf).all()
 
 
@@ -169,12 +169,62 @@ def test_douban_missing_year_and_fractional_duration():
     )
     _, feats = douban_item_features(items, title_dim=3, content_dim=20)
     # layout: name(3) + genres(3) + langs(1) + duration(6) + story(20) +
-    # regions(1) + year(7)
-    year_oh = feats[:, -7:]
-    assert year_oh[0].argmax() == 1 and year_oh[0].sum() == 1
-    assert year_oh[1].argmax() == 4  # 1995 in [1990, 2000)
-    assert year_oh[2].argmax() == 6  # >= 2010
+    # regions(1) + year(6; codes 1..6 at columns 0..5)
+    year_oh = feats[:, -6:]
+    assert year_oh[0].argmax() == 0 and year_oh[0].sum() == 1
+    assert year_oh[1].argmax() == 3  # 1995 in [1990, 2000) -> code 4
+    assert year_oh[2].argmax() == 5  # >= 2010 -> code 6
     dur_oh = feats[:, 3 + 3 + 1 : 3 + 3 + 1 + 6]
     assert duration_bucket(90.5) == 3
     assert dur_oh[0].argmax() == 3  # imputed float mean 90.5
     assert dur_oh[1].argmax() == 2  # true 90 stays (60,90]
+
+
+def test_douban_cleaning_maps_and_code_blocks():
+    """Pins the reference cleaning-map semantics (handleFeature.py:62-144)
+    inside douban_item_features: genres normalized through genreCleanMap
+    before multi-hot (動畫/Animation/动画 collapse to ONE column), languages
+    and regions collapse to int-code blocks over {1,2,3} (汉语普通话=1 /
+    英语=2 / other=3; 中国大陆=1 / 美国=2 / other=3), and empty cells produce
+    the '' genre class / code-3 language+region (the split yields [''], so
+    the maps' 0 sentinel is unreachable — see features.language_codes)."""
+    from lgcnhs_tpu.data.douban import douban_item_features
+    from lgcnhs_tpu.data.features import clean_genres, language_codes, region_codes
+
+    assert clean_genres(["動畫", "Animation", "动画", "unknown", ""]) == [
+        "动画", "动画", "动画", "unknown", ""
+    ]
+    assert language_codes(["汉语普通话", "英语", "法语"]) == [1, 2, 3]
+    assert language_codes([""]) == [3]
+    assert language_codes([]) == [0]
+    assert region_codes(["中国大陆", "美国", "法国"]) == [1, 2, 3]
+    assert region_codes([]) == [0]
+
+    items = pd.DataFrame(
+        {
+            "MOVIE_ID": [1, 2, 3, 4],
+            "NAME": ["a", "b", "c", "d"],
+            "GENRES": ["動畫/Animation", "动画", "", "Comedy/喜剧"],
+            "LANGUAGES": ["汉语普通话/英语", "英语", "", "法语|德语"],
+            "REGIONS": ["中国大陆", "美国", "", "法国/日本"],
+            "MINS": [80.0, 90.0, 100.0, 110.0],
+            "YEAR": [1995, 2000, 2005, 2011],
+            "STORYLINE": ["s"] * 4,
+        }
+    )
+    _, feats = douban_item_features(items, title_dim=3, content_dim=20)
+    # genre vocab after cleaning: ['', 动画, 喜剧] (sorted, '' first)
+    g = feats[:, 3:6]
+    np.testing.assert_array_equal(
+        g, [[0, 1, 0], [0, 1, 0], [1, 0, 0], [0, 0, 1]]
+    )
+    # language codes present: {1,2,3} -> 3-wide block
+    l = feats[:, 6:9]
+    np.testing.assert_array_equal(
+        l, [[1, 1, 0], [0, 1, 0], [0, 0, 1], [0, 0, 1]]
+    )
+    # region codes present: {1,2,3} -> 3-wide block after duration+story
+    r = feats[:, 9 + 6 + 20 : 9 + 6 + 20 + 3]
+    np.testing.assert_array_equal(
+        r, [[1, 0, 0], [0, 1, 0], [0, 0, 1], [0, 0, 1]]
+    )

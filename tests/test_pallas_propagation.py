@@ -143,3 +143,20 @@ def test_fits_vmem_binary():
 
     assert fits_vmem_binary(6040, 3706, 64)
     assert fits_vmem_binary(6040, 3706, 64, bf16=True)
+
+
+def test_dual_matmul_rejects_mixed_dtypes():
+    """Advisor r4 #1: a mixed-dtype call must raise instead of silently
+    truncating the f32 operand under the DEFAULT-precision gate."""
+    import jax.numpy as jnp
+    import pytest
+
+    from lgcnhs_tpu.ops.pallas.propagation import dual_matmul
+
+    R = jnp.ones((8, 16), jnp.float32)
+    Xb = jnp.ones((16, 8), jnp.bfloat16)
+    Yb = jnp.ones((8, 8), jnp.bfloat16)
+    with pytest.raises(ValueError, match="dtypes must agree"):
+        dual_matmul(R, Xb, Yb, True)
+    with pytest.raises(ValueError, match="dtypes must agree"):
+        dual_matmul(R.astype(jnp.bfloat16), Xb, Yb.astype(jnp.float32), True)

@@ -32,14 +32,12 @@ import jax
 import jax.numpy as jnp
 
 
-def main() -> int:
-    if jax.default_backend() != "tpu":
-        print("tpu_smoke: default backend is not tpu — nothing to check")
-        return 0
-
+def run_checks(emit=print) -> list:
+    """Run every on-chip kernel contract; returns the list of FAILED check
+    names (empty = all pass). Importable by bench.py so each round's driver
+    record pins the kernel contracts (VERDICT r4 next-steps #7). Assumes the
+    caller already paid the TPU lease handshake."""
     t0 = time.time()
-    jax.device_get(jnp.zeros((4,)))  # lease handshake outside any check
-    print(f"[handshake {time.time() - t0:.1f}s] devices={jax.devices()}")
 
     from lgcnhs_tpu.data.graph import (
         EdgeSet,
@@ -75,12 +73,12 @@ def main() -> int:
     seen[0] = False  # the sub-sentinel user has NO seen items
     ue_j, ie_j, seen_j = jnp.asarray(ue), jnp.asarray(ie), jnp.asarray(seen)
 
-    failures = 0
+    failures: list = []
 
     def check(name: str, ok: bool, detail: str = "") -> None:
-        nonlocal failures
-        failures += 0 if ok else 1
-        print(f"[{'PASS' if ok else 'FAIL'}] {name}{(' — ' + detail) if detail else ''}")
+        if not ok:
+            failures.append(name)
+        emit(f"[{'PASS' if ok else 'FAIL'}] {name}{(' — ' + detail) if detail else ''}")
 
     # 1. retrieval kernel vs XLA masked_topk (exact index contract)
     scores = jnp.dot(
@@ -125,14 +123,24 @@ def main() -> int:
         agree = 1.0 - float(mism.mean())
         vals_w = fused_vals[rows, want]
         vals_g = fused_vals[rows, got]
-        ties_ok = bool(
-            np.allclose(vals_w[mism], vals_g[mism], rtol=1e-2, atol=1e-5)
+        # Tie bound derived from bf16 truncation: each of the two in-kernel
+        # matmuls carries <= 2^-8 relative operand error, so a genuinely
+        # tied slot's fused values differ by O(1e-2) relative AT WORST —
+        # but the observed tie gap on-chip is ~1e-4 relative (round-4
+        # measurement); pin close to that so a real kernel regression
+        # (value error on non-tied slots) cannot hide inside the tolerance
+        # (advisor r4 finding #2).
+        gap = (
+            float(np.abs(vals_w[mism] - vals_g[mism]).max())
+            if mism.any() else 0.0
         )
+        scale = float(np.abs(vals_w).max()) or 1.0
+        ties_ok = gap <= 5e-4 * scale + 1e-5
         check(
             f"fused serving k={k} tie-equivalent to XLA chain",
             agree >= 0.98 and ties_ok,
-            f"agreement {agree:.4f}, mismatched-slot values "
-            f"{'equal' if ties_ok else 'DIFFER'}",
+            f"agreement {agree:.4f}, mismatched-slot max gap {gap:.3e} "
+            f"(bound {5e-4 * scale + 1e-5:.3e})",
         )
 
     # 3. dual propagation kernel: forward + grad vs XLA, f32
@@ -167,9 +175,21 @@ def main() -> int:
     )
     check("binary int8 kernel == XLA propagate (f32)", berr < 1e-4, f"max |diff| {berr:.2e}")
 
-    print(f"tpu_smoke: {'ALL PASS' if failures == 0 else f'{failures} FAILURES'} "
-          f"({time.time() - t0:.1f}s total)")
-    return 1 if failures else 0
+    emit(
+        f"tpu_smoke: {'ALL PASS' if not failures else f'{len(failures)} FAILURES'} "
+        f"({time.time() - t0:.1f}s total)"
+    )
+    return failures
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("tpu_smoke: default backend is not tpu — nothing to check")
+        return 0
+    t0 = time.time()
+    jax.device_get(jnp.zeros((4,)))  # lease handshake outside any check
+    print(f"[handshake {time.time() - t0:.1f}s] devices={jax.devices()}")
+    return 1 if run_checks() else 0
 
 
 if __name__ == "__main__":
