@@ -443,6 +443,45 @@ def bench_retrieval(graph, k: int, reps: int = 10) -> tuple:
     return U / per, U * 20 / st["median_s"]
 
 
+def bench_streaming_retrieval(k: int = 100, n_items: int = 50_000,
+                              n_users: int = 1024, reps: int = 5) -> tuple:
+    """(streaming-kernel users/s, XLA-chain users/s) at a catalog beyond
+    ``fits_vmem_retrieval``'s one-shot cap (VERDICT r4 #5): the item-tiled
+    Pallas kernel (running top-k merge, no (U, I) score write to HBM) vs the
+    materialize-scores + masked_topk XLA program at the same shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from lgcnhs_tpu.ops.pallas.retrieval import streaming_topk_retrieval
+    from lgcnhs_tpu.ops.topk import masked_topk
+
+    rng = np.random.default_rng(7)
+    ue = jnp.asarray(rng.standard_normal((n_users, EMBED_DIM)), jnp.float32)
+    ie = jnp.asarray(rng.standard_normal((n_items, EMBED_DIM)), jnp.float32)
+    seen = jnp.asarray(rng.random((n_users, n_items)) < 0.02)
+
+    @jax.jit
+    def xla_chain(ue):
+        scores = jnp.dot(ue, ie.T, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        return masked_topk(scores, seen, k)
+
+    got = streaming_topk_retrieval(ue, ie, seen, k)[0]
+    want = xla_chain(ue)
+    agree = float(jnp.mean((got == want).astype(jnp.float32)))
+    log(f"streaming retrieval @{n_items} items: index agreement {agree:.6f}")
+
+    per_stream = timed_rate(
+        lambda: streaming_topk_retrieval(ue, ie, seen, k)[0],
+        reps, name=f"retrieval_stream_{n_items // 1000}k",
+    )
+    per_xla = timed_rate(
+        lambda: xla_chain(ue), reps,
+        name=f"retrieval_stream_xla_{n_items // 1000}k",
+    )
+    return n_users / per_stream, n_users / per_xla, agree
+
+
 def bench_serve_fused(graph, lam: float, k: int, reps: int = 7) -> tuple:
     """users/s of the one-pass fused LGCNHS serving kernel (G, F, Hadamard,
     top-k without HBM intermediates) — XLA equivalent off-TPU."""
@@ -744,6 +783,14 @@ def main() -> None:
     log(f"retrieval k=100: {qps100:,.0f} users/s dispatched, {qps100_st:,.0f} steady")
     extra["retrieval_qps_k100"] = round(qps100, 1)
     extra["retrieval_qps_k100_steady"] = round(qps100_st, 1)
+
+    if on_tpu:  # off-TPU both sides are the same XLA program
+        sq, xq, agree = bench_streaming_retrieval()
+        log(f"streaming retrieval 50k items k=100: {sq:,.0f} users/s vs "
+            f"XLA chain {xq:,.0f} ({sq / xq:.2f}x), agreement {agree:.4f}")
+        extra["retrieval_stream_50k_qps"] = round(sq, 1)
+        extra["retrieval_stream_50k_xla_qps"] = round(xq, 1)
+        extra["retrieval_stream_50k_agree"] = round(agree, 6)
 
     sqps, sqps_st = bench_serve_fused(graph, cfg.hparams.lambda_, K)
     log(f"fused serving k={K}: {sqps:,.0f} users/s dispatched, {sqps_st:,.0f} steady")

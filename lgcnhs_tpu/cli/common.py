@@ -94,6 +94,14 @@ def base_parser(description: str) -> argparse.ArgumentParser:
         "structured_negative_sampling bound (max node id present in the "
         "split, model/LightGCN/loss.py:58; docs/PARITY.md deviations #6)",
     )
+    p.add_argument(
+        "--coo-table-sharding",
+        action="store_true",
+        help="mesh x COO regime: row-shard the embedding tables + optimizer "
+        "state over the model axis (~1/n_model persistent table bytes per "
+        "device) instead of replicating; minibatch rows exchanged "
+        "shard-by-shard. Requires --mesh and a graph on the COO path",
+    )
     p.add_argument("--no-cache", action="store_true", help="ignore cached artifacts")
     p.add_argument(
         "--profile",
@@ -175,6 +183,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         overrides["hparams.neg_range"] = args.neg_range
     if getattr(args, "dtype", None) is not None:
         overrides["compute.dtype"] = args.dtype
+    if getattr(args, "coo_table_sharding", False):
+        overrides["compute.coo_table_sharding"] = True
     if getattr(args, "quantile", None) is not None:
         overrides["preprocessing.quantile_start"] = args.quantile[0]
         overrides["preprocessing.quantile_end"] = args.quantile[1]

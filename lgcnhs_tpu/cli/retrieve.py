@@ -35,6 +35,13 @@ def main(argv=None):
         "--decode", action="store_true",
         help="also write raw-id recommendations via the id mapper",
     )
+    parser.add_argument(
+        "--serve-exact", action="store_true",
+        help="fusion models: serve through the HIGHEST-precision XLA chain "
+        "instead of the fused Pallas kernel (whose native-MXU matmuls are "
+        "tie-equivalent but can swap value-equal slots) — parity-critical "
+        "serving as a flag, any catalog size",
+    )
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     log = get_logger("lgcnhs", cfg.log_path)
@@ -46,7 +53,7 @@ def main(argv=None):
     if cfg.model in ("SpreadLightGCN", "SpreadLightGCNOpti"):
         from lgcnhs_tpu.models.fusion import serve_fused
 
-        rec = serve_fused(graph, cfg, params)
+        rec = serve_fused(graph, cfg, params, exact=args.serve_exact)
     else:
         seen = pos_bool_matrix(graph.n_users, graph.n_items, graph.train, graph.val)
         rec = np.asarray(

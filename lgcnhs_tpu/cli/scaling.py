@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -86,10 +87,12 @@ def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
     return hp.batch_size * steps / (time.perf_counter() - t0)
 
 
-def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
+def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1,
+                     layout: str = "bucketed") -> float:
     """Edge-sharded COO trainer flavor of ``measure_mesh`` — the large-graph
-    regime (SURVEY.md section 2.9): edges sharded over the mesh, per-shard
-    sorted partial segment-sums + psum, replicated tables."""
+    regime (SURVEY.md section 2.9): edges sharded over the mesh, replicated
+    tables, psummed partial aggregates. ``layout``: "bucketed" (production —
+    per-shard scatter-free ELL gathers) or "segment" (sorted segment-sums)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -101,6 +104,7 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> flo
     from lgcnhs_tpu.parallel.sharding import (
         make_plan,
         make_sharded_coo_train_scan,
+        shard_bucketed_incidence,
         shard_coo_edges,
     )
     from lgcnhs_tpu.runtime.mesh import make_mesh
@@ -115,7 +119,12 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> flo
     edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
     rowptr_np, cols_np = user_csr(U, EdgeSet(eu_np, ei_np))
     rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
-    se = shard_coo_edges(plan, eu_np, ei_np, edge_norm)
+    if layout == "bucketed":
+        se = shard_bucketed_incidence(
+            plan, eu_np, ei_np, np.asarray(edge_norm), U, I
+        )
+    else:
+        se = shard_coo_edges(plan, eu_np, ei_np, edge_norm)
 
     params = jax.device_put(
         init_lightgcn(jax.random.PRNGKey(0), U, I, hp.embedding_dim),
@@ -125,7 +134,7 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1) -> flo
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = optimizer.init(params)
-    scan = make_sharded_coo_train_scan(plan, optimizer, hp, U, I)
+    scan = make_sharded_coo_train_scan(plan, optimizer, hp, U, I, layout=layout)
     base_key = jax.random.PRNGKey(3)
 
     chunk = max(1, chunk)
@@ -157,6 +166,10 @@ def main(argv=None):
     parser.add_argument("--meshes", type=int, nargs="+", default=None)
     parser.add_argument("--coo", action="store_true",
                         help="measure the edge-sharded COO (large-graph) trainer")
+    parser.add_argument("--coo-layout", choices=("bucketed", "segment"),
+                        default="bucketed",
+                        help="per-shard aggregation for --coo: scatter-free "
+                             "bucketed ELL (production) or sorted segment-sums")
     args = parser.parse_args(argv)
 
     import jax
@@ -182,7 +195,10 @@ def main(argv=None):
 
     rows = []
     base_rate = None
-    measure = measure_mesh_coo if args.coo else measure_mesh
+    if args.coo:
+        measure = partial(measure_mesh_coo, layout=args.coo_layout)
+    else:
+        measure = measure_mesh
     for m in meshes:
         rate = measure(m, graph, hp, args.steps, chunk=args.chunk)
         if base_rate is None:

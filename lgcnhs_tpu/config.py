@@ -110,6 +110,12 @@ class ComputeConfig:
     # exceed. The fold_in(key, epoch) stream makes chunking invisible to
     # training: any chunking produces the identical model.
     scan_chunk: int = 0
+    # Mesh x COO regime: row-shard the embedding tables + optimizer state
+    # over the model axis instead of replicating them (for catalogs whose
+    # graph refuses to densify AND whose tables outgrow one chip). Per-device
+    # persistent table memory ~1/n_model; minibatch rows exchanged
+    # shard-by-shard (parallel.sharding.make_table_sharded_coo_train_step).
+    coo_table_sharding: bool = False
 
 
 @dataclass(frozen=True)

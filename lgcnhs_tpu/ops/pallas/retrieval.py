@@ -153,3 +153,135 @@ def fused_topk_retrieval(
         interpret=interpret,
     )(u, it, seen_i8)
     return idx[:U], vals[:U]
+
+
+# -- item-tiled streaming flavor: no catalog-size VMEM cap (VERDICT r4 #5) --
+
+
+def _streaming_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref,
+                      work_vals, work_ids, *, k: int, k_pad: int):
+    """Grid (user blocks, item tiles): the (USER_BLOCK, k_pad) accumulator
+    out-blocks persist in VMEM across the item-tile axis (index_map ignores
+    j — the fusion_serve streaming idiom); each tile merges its masked
+    scores with the running top-k by k iterative first-argmax selections
+    over the (k_pad + T)-wide work arrays.
+
+    Tie rule = torch.topk lowest-global-index, preserved structurally:
+    running candidates (columns 0..k_pad-1) all carry ids from EARLIER
+    tiles, so leftmost-first-argmax prefers them over equal current-tile
+    scores, and within the tile the column order IS id order. Every store
+    is a full block or a static slice at a 128-multiple lane offset
+    (Mosaic's dynamic-lane constraint, CLAUDE.md); the selected id is
+    extracted with a one-hot masked sum, never a dynamic gather."""
+    j = pl.program_id(1)
+    tile_w = it_ref.shape[0]
+    width = k_pad + tile_w
+
+    @pl.when(j == 0)
+    def _init():
+        idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+        val_ref[:] = jnp.full(val_ref.shape, _NEG_INF, jnp.float32)
+
+    s = jnp.dot(u_ref[:], it_ref[:].T, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    m = seen_ref[:].astype(jnp.int32)
+    s = jnp.where(m == 1, MASK_VALUE, s)
+    s = jnp.where(m >= 2, _NEG_INF, s)
+
+    col_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+    work_vals[:, :k_pad] = val_ref[:]
+    work_ids[:, :k_pad] = idx_ref[:]
+    work_vals[:, k_pad:] = s
+    work_ids[:, k_pad:] = j * tile_w + col_t
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (u_ref.shape[0], width), 1)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, dimension=1)
+
+    def select_one(t, carry):
+        idx_acc, val_acc = carry
+        cur = work_vals[:]
+        row_max = jnp.max(cur, axis=1, keepdims=True)
+        sel_col = jnp.min(jnp.where(cur == row_max, col, width), axis=1)
+        sel_id = jnp.sum(
+            jnp.where(col == sel_col[:, None], work_ids[:], 0), axis=1
+        )
+        slot = col_k == t
+        idx_acc = jnp.where(slot, sel_id[:, None], idx_acc)
+        val_acc = jnp.where(slot, row_max, val_acc)
+        work_vals[:] = jnp.where(col == sel_col[:, None], _NEG_INF, cur)
+        return idx_acc, val_acc
+
+    idx_acc, val_acc = jax.lax.fori_loop(
+        0,
+        k,
+        select_one,
+        (
+            jnp.zeros(idx_ref.shape, jnp.int32),
+            jnp.full(val_ref.shape, _NEG_INF, jnp.float32),
+        ),
+    )
+    idx_ref[:] = idx_acc
+    val_ref[:] = val_acc
+
+
+@partial(jax.jit, static_argnames=("k", "item_tile", "interpret"))
+def streaming_topk_retrieval(
+    user_emb: jnp.ndarray,  # (U, D)
+    item_emb: jnp.ndarray,  # (I, D)
+    seen: jnp.ndarray,  # (U, I) bool or int8 tri-state
+    k: int,
+    item_tile: int = 512,
+    interpret: bool = False,
+):
+    """``fused_topk_retrieval`` without the ~13k-item VMEM cap: the item
+    table streams through VMEM one (item_tile, D) tile at a time (the same
+    treatment ``fusion_serve`` gives W) with a running (idx, val) top-k
+    merge per 128-user block. Resident VMEM is O(item_tile·(D + USER_BLOCK)
+    + USER_BLOCK·k_pad) — INDEPENDENT of the catalog size; dispatches at
+    50k+ items where the one-shot kernel cannot.
+
+    Index contract: identical to ``masked_topk``/``fused_topk_retrieval``
+    (HIGHEST-precision scores, torch.topk lowest-index ties, tri-state mask
+    with state 2 = -inf) whenever the user has >= k real candidates; users
+    whose real candidates run out (possible only with sharding padding)
+    fill the tail with id-0 sentinel slots at -inf, like the one-shot
+    kernel's padded-lane behavior."""
+    if item_tile % 128 != 0 and not interpret:
+        raise ValueError(f"item_tile must be a multiple of 128, got {item_tile}")
+    U, D = user_emb.shape
+    I = item_emb.shape[0]
+    k_eff = min(k, I)
+    k_pad = -(-k_eff // 128) * 128 if not interpret else k_eff
+
+    U_pad = -(-U // USER_BLOCK) * USER_BLOCK
+    I_pad = -(-I // item_tile) * item_tile
+    u = jnp.pad(user_emb, ((0, U_pad - U), (0, 0)))
+    it = jnp.pad(item_emb, ((0, I_pad - I), (0, 0)))
+    seen_i8 = jnp.pad(
+        seen.astype(jnp.int8), ((0, U_pad - U), (0, I_pad - I)), constant_values=2
+    )
+
+    grid = (U_pad // USER_BLOCK, I_pad // item_tile)
+    idx, vals = pl.pallas_call(
+        partial(_streaming_kernel, k=k_eff, k_pad=k_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((USER_BLOCK, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((item_tile, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((USER_BLOCK, item_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((USER_BLOCK, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((USER_BLOCK, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((U_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, k_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((USER_BLOCK, k_pad + item_tile), jnp.float32),
+            pltpu.VMEM((USER_BLOCK, k_pad + item_tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(u, it, seen_i8)
+    return idx[:U, :k_eff], vals[:U, :k_eff]

@@ -149,18 +149,32 @@ def hits_csr(rec: jnp.ndarray, rowptr: jnp.ndarray, cols: jnp.ndarray) -> jnp.nd
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=())
 def _chunk_masked_topk(ue_chunk, item_emb, rows, cols, valid, k):
-    """One user-chunk of masked retrieval: (C, I) scores + scatter of the
-    chunk's seen edges + masked top-k. ``rows``/``cols`` are padded to a
-    static length; padding carries valid=False and lands on (0, 0) under a
-    logical-or scatter, so it cannot mask a real cell."""
+    """One user-chunk of masked retrieval: scatter of the chunk's seen edges
+    + masked top-k. ``rows``/``cols`` are padded to a static length; padding
+    carries valid=False and lands on (0, 0) under a logical-or scatter, so
+    it cannot mask a real cell. On TPU the score+select runs in the fused /
+    streaming Pallas kernels (identical index contract); off-TPU it
+    materializes the (C, I) score block."""
     from lgcnhs_tpu.ops.topk import masked_topk
 
+    seen = jnp.zeros(
+        (ue_chunk.shape[0], item_emb.shape[0]), dtype=bool
+    ).at[rows, cols].max(valid)
+    if jax.default_backend() == "tpu" and ue_chunk.dtype != jnp.float64:
+        from lgcnhs_tpu.ops.pallas.retrieval import (
+            fits_vmem_retrieval,
+            fused_topk_retrieval,
+            streaming_topk_retrieval,
+        )
+
+        if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
+            return fused_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
+        return streaming_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
     scores = jnp.dot(
         ue_chunk, item_emb.T,
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=ue_chunk.dtype,
     )
-    seen = jnp.zeros(scores.shape, dtype=bool).at[rows, cols].max(valid)
     return masked_topk(scores, seen, k)
 
 

@@ -139,20 +139,25 @@ def retrieve_topk(
 
     On TPU this dispatches to the fused Pallas kernel (scores never touch
     HBM, ~2.3x the XLA path) WHEN its resident set fits VMEM
-    (``fits_vmem_retrieval``, ~13k items at D=64); elsewhere it
-    materializes scores and uses masked_topk. Both produce identical
-    indices (tie rule included — padding is masked to -inf, strictly below
-    the reference's finite -1024 seen sentinel).
+    (``fits_vmem_retrieval``, ~13k items at D=64); beyond that cap the
+    item-tiled STREAMING kernel takes over (running top-k merge per user
+    block; resident VMEM independent of catalog size), falling back to the
+    materialized masked_topk only off-TPU or in f64 parity runs. All paths
+    produce identical indices (tie rule included — padding is masked to
+    -inf, strictly below the reference's finite -1024 seen sentinel).
     """
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and user_emb.dtype != jnp.float64:
         from lgcnhs_tpu.ops.pallas.retrieval import (
             fits_vmem_retrieval,
             fused_topk_retrieval,
+            streaming_topk_retrieval,
         )
 
         if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
             idx, _ = fused_topk_retrieval(user_emb, item_emb, seen, k)
             return idx
+        idx, _ = streaming_topk_retrieval(user_emb, item_emb, seen, k)
+        return idx
     scores = jnp.dot(
         user_emb,
         item_emb.T,

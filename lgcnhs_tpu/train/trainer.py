@@ -637,16 +637,31 @@ def train_lightgcn(
         edge_users = jnp.asarray(graph.train.users)
         edge_items = jnp.asarray(graph.train.items)
         if mesh is not None:
-            # COO + mesh: tables/optimizer replicated (chip-sized in the
-            # regime where U*I explodes), edge blocks sharded below
+            # COO + mesh: edge blocks sharded below. Tables/optimizer are
+            # replicated by default (chip-sized in the regime where U*I
+            # explodes); compute.coo_table_sharding row-shards them instead
+            # for the regime where the TABLES outgrow a chip too (SURVEY
+            # 2.9's all-to-all lookup exchange; VERDICT r4 #4).
             from lgcnhs_tpu.parallel.sharding import make_plan
 
             plan = make_plan(mesh)
-            params = jax.device_put(params, plan.replicated)
+            if cfg.compute.coo_table_sharding:
+                from lgcnhs_tpu.parallel.sharding import (
+                    shard_params,
+                    unpad_params,
+                )
+
+                params = shard_params(plan, params)
+            else:
+                params = jax.device_put(params, plan.replicated)
         opt_state = optimizer.init(params)
 
-        def finalize(params):
-            return LightGCNParams(*jax.tree.map(jax.device_get, params))
+        if mesh is not None and cfg.compute.coo_table_sharding:
+            def finalize(params):
+                return unpad_params(params, U, I)
+        else:
+            def finalize(params):
+                return LightGCNParams(*jax.tree.map(jax.device_get, params))
 
         # Eval layout is chosen SEPARATELY from train propagation: the
         # bf16-dense rung trains on a 2-byte incidence at catalogs whose
@@ -714,10 +729,13 @@ def train_lightgcn(
 
             @partial(jax.jit, static_argnames=("n_layers",))
             def _coo_val_loss(params, users, pos_items, neg_items, n_layers):
+                # segment counts from the table shapes, not (U, I): under
+                # coo_table_sharding the tables carry padded catalog axes
                 u_final, i_final = lightgcn_propagate_coo(
                     params.user_emb, params.item_emb,
                     val_edge_users, val_edge_items, val_edge_norm,
-                    U, I, n_layers,
+                    params.user_emb.shape[0], params.item_emb.shape[0],
+                    n_layers,
                 )
                 return bpr_loss(
                     u_final[users], params.user_emb[users],
@@ -757,7 +775,14 @@ def train_lightgcn(
 
             def eval_fn(params):
                 if mesh is not None:
-                    rec = csr_topk(params.user_emb, params.item_emb, cfg.k)
+                    # [:U]/[:I] strip the coo_table_sharding catalog padding
+                    # (no-op otherwise): padded zero rows must not reach the
+                    # retrieval scores
+                    rec = csr_topk(
+                        np.asarray(params.user_emb)[:U],
+                        np.asarray(params.item_emb)[:I],
+                        cfg.k,
+                    )
                 else:
                     rec = scalable.chunked_masked_topk(
                         params.user_emb, params.item_emb, rowptr_np, cols_np, cfg.k
@@ -789,19 +814,37 @@ def train_lightgcn(
                 )
                 step_args = lambda: (R_hat, edge_users, edge_items, rowptr, cols)
             elif mesh is not None:
+                # edge-sharded mesh x large-graph step on the scatter-free
+                # bucketed-ELL layout — the same aggregation the single-chip
+                # COO path ships (3.6x over segment-sum on-chip), psummed
+                # over the flattened mesh (VERDICT r4 #3)
                 from lgcnhs_tpu.parallel.sharding import (
                     make_sharded_coo_train_scan,
                     make_sharded_coo_train_step,
-                    shard_coo_edges,
+                    make_table_sharded_coo_train_scan,
+                    make_table_sharded_coo_train_step,
+                    padded_catalog,
+                    shard_bucketed_incidence,
                 )
 
-                se = shard_coo_edges(
-                    plan, graph.train.users, graph.train.items, edge_norm
+                if cfg.compute.coo_table_sharding:
+                    # tables row-sharded (padded): the incidence aggregates
+                    # into padded outputs so propagation shapes line up
+                    U_se, I_se = padded_catalog(plan, U, I)
+                    make_step = make_table_sharded_coo_train_step
+                    make_scan = make_table_sharded_coo_train_scan
+                else:
+                    U_se, I_se = U, I
+                    make_step = make_sharded_coo_train_step
+                    make_scan = make_sharded_coo_train_scan
+                se = shard_bucketed_incidence(
+                    plan, graph.train.users, graph.train.items,
+                    np.asarray(edge_norm), U_se, I_se,
                 )
-                train_step = make_sharded_coo_train_step(
+                train_step = make_step(
                     plan, optimizer, hp, U, I, neg_hi=neg_hi_train
                 )
-                train_scan = make_sharded_coo_train_scan(
+                train_scan = make_scan(
                     plan, optimizer, hp, U, I, neg_hi=neg_hi_train
                 )
                 step_args = lambda: (edge_users, edge_items, rowptr, cols, se)
