@@ -159,20 +159,24 @@ def fused_topk_retrieval(
 
 
 def _streaming_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref,
-                      work_vals, work_ids, *, k: int, k_pad: int):
+                      work_vals, *, k: int, k_pad: int):
     """Grid (user blocks, item tiles): the (USER_BLOCK, k_pad) accumulator
     out-blocks persist in VMEM across the item-tile axis (index_map ignores
     j — the fusion_serve streaming idiom); each tile merges its masked
     scores with the running top-k by k iterative first-argmax selections
-    over the (k_pad + T)-wide work arrays.
+    over the (k_pad + T)-wide work values.
 
     Tie rule = torch.topk lowest-global-index, preserved structurally:
     running candidates (columns 0..k_pad-1) all carry ids from EARLIER
     tiles, so leftmost-first-argmax prefers them over equal current-tile
     scores, and within the tile the column order IS id order. Every store
     is a full block or a static slice at a 128-multiple lane offset
-    (Mosaic's dynamic-lane constraint, CLAUDE.md); the selected id is
-    extracted with a one-hot masked sum, never a dynamic gather."""
+    (Mosaic's dynamic-lane constraint, CLAUDE.md). Id extraction needs no
+    (BU, tile) id plane: a selected tile column's global id is affine
+    (``j*tile + col - k_pad``), so only the k_pad running lanes use a
+    one-hot masked sum over ``idx_ref`` (never a dynamic gather) — that
+    cuts the per-selection VPU work from ~2 full-width passes to one
+    full-width + one k_pad-wide pass."""
     j = pl.program_id(1)
     tile_w = it_ref.shape[0]
     width = k_pad + tile_w
@@ -188,22 +192,26 @@ def _streaming_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref,
     s = jnp.where(m == 1, MASK_VALUE, s)
     s = jnp.where(m >= 2, _NEG_INF, s)
 
-    col_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
     work_vals[:, :k_pad] = val_ref[:]
-    work_ids[:, :k_pad] = idx_ref[:]
     work_vals[:, k_pad:] = s
-    work_ids[:, k_pad:] = j * tile_w + col_t
 
     col = jax.lax.broadcasted_iota(jnp.int32, (u_ref.shape[0], width), 1)
+    col_kp = jax.lax.broadcasted_iota(
+        jnp.int32, (u_ref.shape[0], k_pad), dimension=1
+    )
     col_k = jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, dimension=1)
+    run_ids = idx_ref[:]  # ids of the running candidates, fixed per tile
 
     def select_one(t, carry):
         idx_acc, val_acc = carry
         cur = work_vals[:]
         row_max = jnp.max(cur, axis=1, keepdims=True)
         sel_col = jnp.min(jnp.where(cur == row_max, col, width), axis=1)
-        sel_id = jnp.sum(
-            jnp.where(col == sel_col[:, None], work_ids[:], 0), axis=1
+        run_id = jnp.sum(
+            jnp.where(col_kp == sel_col[:, None], run_ids, 0), axis=1
+        )
+        sel_id = jnp.where(
+            sel_col < k_pad, run_id, j * tile_w + sel_col - k_pad
         )
         slot = col_k == t
         idx_acc = jnp.where(slot, sel_id[:, None], idx_acc)
@@ -230,7 +238,7 @@ def streaming_topk_retrieval(
     item_emb: jnp.ndarray,  # (I, D)
     seen: jnp.ndarray,  # (U, I) bool or int8 tri-state
     k: int,
-    item_tile: int = 512,
+    item_tile: int = 4096,
     interpret: bool = False,
 ):
     """``fused_topk_retrieval`` without the ~13k-item VMEM cap: the item
@@ -239,6 +247,13 @@ def streaming_topk_retrieval(
     merge per 128-user block. Resident VMEM is O(item_tile·(D + USER_BLOCK)
     + USER_BLOCK·k_pad) — INDEPENDENT of the catalog size; dispatches at
     50k+ items where the one-shot kernel cannot.
+
+    The per-tile merge costs k selection passes over (k_pad + item_tile)
+    lanes, so small tiles pay the k·k_pad merge overhead once per tile:
+    measured on-chip at I=50k, k=100, tile 512 ran 0.53x the XLA chain,
+    tile 2048 1.19x, tile 4096 1.41x (and 1.26x at I=200k with 2048) —
+    hence the wide default. VMEM residency at the default is ~4 MB
+    (scratch + tiles), comfortable at any D the models use.
 
     Index contract: identical to ``masked_topk``/``fused_topk_retrieval``
     (HIGHEST-precision scores, torch.topk lowest-index ties, tri-state mask
@@ -280,7 +295,6 @@ def streaming_topk_retrieval(
         ),
         scratch_shapes=[
             pltpu.VMEM((USER_BLOCK, k_pad + item_tile), jnp.float32),
-            pltpu.VMEM((USER_BLOCK, k_pad + item_tile), jnp.int32),
         ],
         interpret=interpret,
     )(u, it, seen_i8)
