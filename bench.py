@@ -59,10 +59,12 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-#: per-region timing statistics, keyed by metric name; attached to the JSON
-#: line as extra["stats"] so every headline number carries its own
-#: repetition count, min, median, and relative spread (VERDICT r3 weak 3:
-#: single-run numbers on a relay TPU invite misreading regressions).
+#: per-region timing statistics, keyed by metric name; written to the
+#: BENCH_STATS.json side file by ``format_record`` (NOT inlined into the
+#: printed JSON line — that blew the driver's 2000-char stdout-tail capture
+#: in round 4) so every headline number still carries its repetition count,
+#: min, median, and relative spread (VERDICT r3 weak 3: single-run numbers
+#: on a relay TPU invite misreading regressions).
 STATS: dict = {}
 
 
@@ -862,6 +864,14 @@ def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str
     with open(stats_path, "w") as f:
         json.dump({"stats": STATS, "record": record}, f, indent=1)
     extra["stats_file"] = "BENCH_STATS.json"
+    # kernel_contracts itself must respect the budget: a smoke crash embeds
+    # an exception string that on this relay can run multi-KB — exactly the
+    # run where the record matters most. Full text survives in the side file.
+    kc = extra.get("kernel_contracts")
+    if isinstance(kc, list):
+        extra["kernel_contracts"] = [str(f)[:120] for f in kc[:5]] + (
+            [f"... +{len(kc) - 5} more (see {stats_path})"] if len(kc) > 5 else []
+        )
     line = json.dumps(record)
     if len(line) > 1500:  # last-resort: drop extras until the contract holds
         log(f"WARNING: bench line {len(line)} chars > 1500; trimming extras")

@@ -88,11 +88,15 @@ def measure_mesh(n_model: int, graph, hp, steps: int, chunk: int = 1) -> float:
 
 
 def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1,
-                     layout: str = "bucketed") -> float:
+                     layout: str = "bucketed",
+                     table_sharded: bool = False) -> float:
     """Edge-sharded COO trainer flavor of ``measure_mesh`` — the large-graph
     regime (SURVEY.md section 2.9): edges sharded over the mesh, replicated
     tables, psummed partial aggregates. ``layout``: "bucketed" (production —
-    per-shard scatter-free ELL gathers) or "segment" (sorted segment-sums)."""
+    per-shard scatter-free ELL gathers) or "segment" (sorted segment-sums).
+    ``table_sharded`` measures the ``compute.coo_table_sharding`` plan
+    instead: params + Adam state row-sharded over the model axis (~1/n_model
+    persistent table bytes per device, minibatch rows exchanged per shard)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -104,8 +108,11 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1,
     from lgcnhs_tpu.parallel.sharding import (
         make_plan,
         make_sharded_coo_train_scan,
+        make_table_sharded_coo_train_scan,
+        padded_catalog,
         shard_bucketed_incidence,
         shard_coo_edges,
+        shard_params,
     )
     from lgcnhs_tpu.runtime.mesh import make_mesh
     from lgcnhs_tpu.train.trainer import lr_schedule
@@ -119,22 +126,34 @@ def measure_mesh_coo(n_model: int, graph, hp, steps: int, chunk: int = 1,
     edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
     rowptr_np, cols_np = user_csr(U, EdgeSet(eu_np, ei_np))
     rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
-    if layout == "bucketed":
+    if table_sharded:
+        # tables row-sharded (padded): the incidence aggregates into padded
+        # outputs so propagation shapes line up (trainer wiring parity)
+        U_se, I_se = padded_catalog(plan, U, I)
+    else:
+        U_se, I_se = U, I
+    if layout == "bucketed" or table_sharded:
         se = shard_bucketed_incidence(
-            plan, eu_np, ei_np, np.asarray(edge_norm), U, I
+            plan, eu_np, ei_np, np.asarray(edge_norm), U_se, I_se
         )
     else:
         se = shard_coo_edges(plan, eu_np, ei_np, edge_norm)
 
-    params = jax.device_put(
-        init_lightgcn(jax.random.PRNGKey(0), U, I, hp.embedding_dim),
-        plan.replicated,
-    )
+    init = init_lightgcn(jax.random.PRNGKey(0), U, I, hp.embedding_dim)
+    if table_sharded:
+        params = shard_params(plan, init)
+    else:
+        params = jax.device_put(init, plan.replicated)
     optimizer = optax.inject_hyperparams(optax.adam)(
         learning_rate=lr_schedule(hp.lr, hp.gamma, hp.epoch_per_lr_decay)
     )
     opt_state = optimizer.init(params)
-    scan = make_sharded_coo_train_scan(plan, optimizer, hp, U, I, layout=layout)
+    if table_sharded:
+        scan = make_table_sharded_coo_train_scan(plan, optimizer, hp, U, I)
+    else:
+        scan = make_sharded_coo_train_scan(
+            plan, optimizer, hp, U, I, layout=layout
+        )
     base_key = jax.random.PRNGKey(3)
 
     chunk = max(1, chunk)
@@ -170,9 +189,31 @@ def main(argv=None):
                         default="bucketed",
                         help="per-shard aggregation for --coo: scatter-free "
                              "bucketed ELL (production) or sorted segment-sums")
+    parser.add_argument("--coo-table-sharding", action="store_true",
+                        help="with --coo: measure the row-sharded-tables plan "
+                             "(~1/n_model persistent table bytes per device) "
+                             "instead of replicated tables")
     args = parser.parse_args(argv)
+    if args.coo_table_sharding and args.coo_layout == "segment":
+        parser.error("--coo-table-sharding runs the bucketed-ELL aggregation; "
+                     "it cannot measure --coo-layout segment")
+
+    import os
 
     import jax
+
+    # This machine's sitecustomize force-registers the axon TPU backend with
+    # jax_platforms="axon,cpu", which shadows the virtual CPU devices
+    # requested via xla_force_host_platform_device_count — the ladder then
+    # silently collapses to the 1-device rung. Same guard as
+    # __graft_entry__.dryrun_multichip: pin CPU before backend init.
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception as exc:  # surfacing beats the silent 1-rung collapse
+            print(f"WARNING: could not pin jax_platforms=cpu ({exc}); the "
+                  "requested virtual devices may be shadowed by a registered "
+                  "accelerator backend", flush=True)
 
     from lgcnhs_tpu.cli.common import enable_compilation_cache
     from lgcnhs_tpu.config import load_config
@@ -196,7 +237,8 @@ def main(argv=None):
     rows = []
     base_rate = None
     if args.coo:
-        measure = partial(measure_mesh_coo, layout=args.coo_layout)
+        measure = partial(measure_mesh_coo, layout=args.coo_layout,
+                          table_sharded=args.coo_table_sharding)
     else:
         measure = measure_mesh
     for m in meshes:

@@ -129,30 +129,35 @@ def serve_fused(
     )
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "precision"))
+def _serve_unfused_chain(ue, ie, A, W, seen, k, precision):
+    """One XLA serving chain, two precisions (one body so the serve
+    contract — sentinel, accumulation dtype, top_k tie rule — cannot
+    diverge between flavors; round-5 review finding)."""
+    G = jnp.dot(ue, ie.T, precision=precision,
+                preferred_element_type=jnp.float32)
+    F = jnp.dot(A, W, precision=precision,
+                preferred_element_type=jnp.float32)
+    fused = jnp.where(seen, -3.0e38, G * F)
+    return jax.lax.top_k(fused, k)[1]
+
+
 def _serve_unfused(ue, ie, A, W, seen, k):
     # native MXU precision, matching the fused kernel's deliberate serving
     # contract (see ops/pallas/fusion_serve.py: HIGHEST blows VMEM / costs
     # 7x in-kernel); the two flavors are tie-equivalent, pinned on-chip by
     # tests/tpu_smoke.py
-    G = jnp.dot(ue, ie.T, preferred_element_type=jnp.float32)
-    F = jnp.dot(A, W, preferred_element_type=jnp.float32)
-    fused = jnp.where(seen, -3.0e38, G * F)
-    return jax.lax.top_k(fused, k)[1]
+    return _serve_unfused_chain(ue, ie, A, W, seen, k,
+                                jax.lax.Precision.DEFAULT)
 
 
-@partial(jax.jit, static_argnames=("k",))
 def _serve_unfused_exact(ue, ie, A, W, seen, k):
     """The exact-precision serving chain behind ``serve_fused(exact=True)``:
     both matmuls at HIGHEST (full-f32 MXU emulation), so the fused scores —
     and therefore the emitted indices — are free of the speed flavor's bf16
     near-tie swaps at any catalog size."""
-    G = jnp.dot(ue, ie.T, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-    F = jnp.dot(A, W, precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-    fused = jnp.where(seen, -3.0e38, G * F)
-    return jax.lax.top_k(fused, k)[1]
+    return _serve_unfused_chain(ue, ie, A, W, seen, k,
+                                jax.lax.Precision.HIGHEST)
 
 
 def distributed_fused_recommend(

@@ -439,6 +439,22 @@ def train_lightgcn(
     propagation = choose_propagation(
         U, I, graph.train.n_edges, cfg.compute, single_chip=mesh is None
     )
+    # coo_table_sharding only changes behavior on the mesh x COO path;
+    # surface misconfigurations instead of silently training with tables
+    # laid out differently than the operator planned capacity around
+    # (round-5 review finding).
+    if cfg.compute.coo_table_sharding:
+        if mesh is None:
+            raise ValueError(
+                "compute.coo_table_sharding requires a resolved mesh "
+                "(--mesh); without one, tables are single-device anyway"
+            )
+        if propagation != "coo":
+            log.warning(
+                "coo_table_sharding requested but the graph takes the %s "
+                "path; tables are row-sharded by the dense mesh plan "
+                "already — the flag has no additional effect", propagation,
+            )
     if mesh is not None:
         # dense graphs shard the (U, I) incidence and the tables; COO
         # graphs shard the edge list with psummed partial segment-sums

@@ -70,10 +70,10 @@ def test_format_record_driver_contract(tmp_path, monkeypatch):
     < 1500 chars, valid JSON, stats routed to the side file."""
     import json
 
-    bench.STATS.clear()
-    bench.STATS.update(
+    monkeypatch.setattr(  # restored after the test: later tests see real STATS
+        bench, "STATS",
         {f"region_{i}": {"min_s": 0.1, "median_s": 0.2, "rel_spread": 0.01, "n": 5}
-         for i in range(40)}  # bulky enough to blow 1500 chars if inlined
+         for i in range(40)},  # bulky enough to blow 1500 chars if inlined
     )
     extra = {f"metric_{i}": 123456.7 for i in range(20)}
     extra["kernel_contracts"] = "skipped (not tpu)"
@@ -86,3 +86,26 @@ def test_format_record_driver_contract(tmp_path, monkeypatch):
     assert "stats" not in rec["extra"]
     side = json.load(open(tmp_path / "BENCH_STATS.json"))
     assert "region_0" in side["stats"]
+
+
+def test_format_record_contract_survives_smoke_crash(tmp_path, monkeypatch):
+    """kernel_contracts itself is budgeted: a smoke crash embedding a
+    multi-KB relay exception string must not blow the driver's stdout-tail
+    capture (the failure list is truncated in the line; the full text
+    survives in the side file)."""
+    import json
+
+    monkeypatch.setattr(bench, "STATS", {})
+    extra = {f"metric_{i}": 123456.7 for i in range(20)}
+    extra["kernel_contracts"] = [
+        f"check_{i} failed: " + "X" * 3000 for i in range(8)
+    ]
+    line = bench.format_record(1000.0, 2.0, "synthetic", extra, out_dir=str(tmp_path))
+    assert len(line) < 1500
+    rec = json.loads(line)
+    kc = rec["extra"]["kernel_contracts"]
+    assert isinstance(kc, list) and len(kc) == 6  # 5 entries + overflow marker
+    assert kc[0].startswith("check_0 failed:") and len(kc[0]) <= 120
+    assert "+3 more" in kc[-1]
+    side = json.load(open(tmp_path / "BENCH_STATS.json"))
+    assert len(side["record"]["extra"]["kernel_contracts"][0]) > 2000  # full text

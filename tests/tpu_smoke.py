@@ -169,17 +169,24 @@ def run_checks(emit=print) -> list:
         # measurement); pin close to that so a real kernel regression
         # (value error on non-tied slots) cannot hide inside the tolerance
         # (advisor r4 finding #2).
-        gap = (
-            float(np.abs(vals_w[mism] - vals_g[mism]).max())
-            if mism.any() else 0.0
-        )
-        scale = float(np.abs(vals_w).max()) or 1.0
-        ties_ok = gap <= 5e-4 * scale + 1e-5
+        # Per-slot RELATIVE bound: a global max|vals| scale would be
+        # inflated ~3 orders of magnitude by the injected -3000
+        # sub-sentinel user, making the bound vacuous for typical slots
+        # (round-5 review finding). Observed on-chip tie gap is ~1e-4
+        # relative; 5e-4 leaves headroom without hiding real value errors.
+        if mism.any():
+            w_m, g_m = vals_w[mism], vals_g[mism]
+            slot_scale = np.maximum(np.abs(w_m), np.abs(g_m))
+            rel_gaps = np.abs(w_m - g_m) / (slot_scale + 1e-5)
+            gap = float(rel_gaps.max())
+        else:
+            gap = 0.0
+        ties_ok = gap <= 5e-4
         check(
             f"fused serving k={k} tie-equivalent to XLA chain",
             agree >= 0.98 and ties_ok,
-            f"agreement {agree:.4f}, mismatched-slot max gap {gap:.3e} "
-            f"(bound {5e-4 * scale + 1e-5:.3e})",
+            f"agreement {agree:.4f}, mismatched-slot max RELATIVE gap "
+            f"{gap:.3e} (bound 5e-4)",
         )
 
     # 3. dual propagation kernel: forward + grad vs XLA, f32
