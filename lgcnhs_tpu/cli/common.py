@@ -197,9 +197,12 @@ def config_from_args(args: argparse.Namespace) -> Config:
                 raise SystemExit(f"--mesh expects DATA,MODEL (got {args.mesh!r})")
             overrides["compute.mesh_shape"] = parts
     if getattr(args, "data_dir", None):
-        from lgcnhs_tpu.data.fetch import ml100k_paths, ml1m_paths
+        from lgcnhs_tpu.data.fetch import douban_paths, ml100k_paths, ml1m_paths
 
-        path_fn = ml1m_paths if args.dataset == "movielens1m" else ml100k_paths
+        path_fn = {
+            "movielens1m": ml1m_paths,
+            "douban": douban_paths,
+        }.get(args.dataset, ml100k_paths)
         overrides["preprocessing.dataset_paths"] = path_fn(args.data_dir)
     elif getattr(args, "fetch", False) and args.dataset in (
         "movielens", "movielens1m"

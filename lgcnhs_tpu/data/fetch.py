@@ -48,6 +48,22 @@ def ml1m_paths(data_dir: str) -> Dict[str, str]:
     return {key: os.path.join(data_dir, name) for key, name in ML1M_FILES.items()}
 
 
+#: Douban movie-dataset CSVs, named as the reference configures them
+#: (``const.py:225-227``: users.csv / movies.csv / ratings.csv). There is no
+#: fetcher — the dataset has no canonical public archive — but ``--data-dir``
+#: must still be able to point at a local copy.
+DOUBAN_FILES = {
+    "rating": "ratings.csv",
+    "users": "users.csv",
+    "items": "movies.csv",
+}
+
+
+def douban_paths(data_dir: str) -> Dict[str, str]:
+    """dataset_paths dict for a directory of Douban CSVs."""
+    return {key: os.path.join(data_dir, name) for key, name in DOUBAN_FILES.items()}
+
+
 def have_ml100k(data_dir: str) -> bool:
     return all(os.path.exists(p) for p in ml100k_paths(data_dir).values())
 

@@ -196,3 +196,39 @@ def test_main_target_user_without_cached_mappings(tmp_path, monkeypatch):
         assert any("no id mappings cached" in s for s in messages)
     finally:
         logging.getLogger("lgcnhs").removeHandler(handler)
+
+
+def test_main_douban_from_raw_csvs(tmp_path):
+    """Full real-data Douban path through the CLI: --data-dir resolves the
+    reference's users/movies/ratings CSV names (const.py:225-227 via
+    data/fetch.douban_paths), prepare_douban runs the cleaning-map feature
+    pipeline, LightGCNOpti consumes the features, and the HeatS-on-Douban
+    quirk dispatch serves — previously --data-dir silently mapped douban to
+    ml-100k file names and fell back to synthetic."""
+    from tests.test_ingestion import _write_douban
+
+    data_dir = tmp_path / "douban"
+    data_dir.mkdir()
+    _write_douban(data_dir)
+    metrics = main_cli.main(
+        [
+            "--dataset", "douban", "--env", "dev", "--data-dir", str(data_dir),
+            "--model", "SpreadLightGCNOpti", "--workdir", str(tmp_path / "wd"),
+            "--epochs", "6", "--quantile", "1", "0",  # 15-user fixture: no band filter
+        ]
+    )
+    assert set(metrics) == {"P", "R", "F1", "NDCG", "H", "I"}
+    assert all(np.isfinite(v) for v in metrics.values())
+    # the douban feature pipeline (not the synthetic fallback) produced the
+    # preprocessing artifacts
+    feats = os.path.join(str(tmp_path / "wd"), "douban", "preprocess",
+                         "item_features.csv")
+    assert os.path.exists(feats)
+    # reference-format tab-separated CSV with a list-valued column
+    # (handleMovielens.py:190-195): row 2's list length is the feature width
+    row = open(feats).readlines()[1].split("\t")[1]
+    width = row.count(",") + 1
+    # fixture's observed-vocab widths (MultiLabelBinarizer semantics): 3
+    # title + 3 cleaned genres + 2 language codes + 6 duration + 20
+    # storyline + 2 region codes + 6 year — NOT the synthetic fallback's 37
+    assert width == 3 + 3 + 2 + 6 + 20 + 2 + 6
