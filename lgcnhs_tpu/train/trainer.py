@@ -647,7 +647,10 @@ def train_lightgcn(
     else:
         from lgcnhs_tpu.ops.propagation import edge_gcn_norm
 
-        log.info("graph too large/sparse to densify: segment-sum propagation")
+        log.info(
+            "graph too large/sparse to densify: COO propagation "
+            "(scatter-free bucketed aggregation)"
+        )
 
     if mesh is None or propagation == "coo":
         edge_users = jnp.asarray(graph.train.users)

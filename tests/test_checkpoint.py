@@ -123,6 +123,46 @@ def test_resume_sharded_coo_path(tmp_path, graph_and_cfg):
     )
 
 
+def test_resume_table_sharded_coo_path(tmp_path, graph_and_cfg):
+    """Mid-train resume under the ROW-SHARDED-TABLES COO plan
+    (compute.coo_table_sharding, round-5): the training-time params/opt
+    leaves are padded to the shard grid and row-sharded over the model axis,
+    so the checkpoint stores padded sharded leaves and the resume re-pin
+    must map them back onto the same padded placements. Resumed run ==
+    uninterrupted run."""
+    import dataclasses
+
+    graph, cfg = graph_and_cfg
+    cfg = cfg.replace(
+        compute=dataclasses.replace(
+            cfg.compute, mesh_shape=(2, 4), dense_threshold=1.0,
+            coo_table_sharding=True,
+        )
+    )
+
+    full = train_lightgcn(graph, _with_epochs(cfg, 14), save_artifacts=False)
+
+    ckpt = str(tmp_path / "ckpt_coo_ts")
+    _ = train_lightgcn(
+        graph, _with_epochs(cfg, 8), save_artifacts=False,
+        checkpoint_dir=ckpt, checkpoint_every=7,
+    )
+    resumed = train_lightgcn(
+        graph, _with_epochs(cfg, 14), save_artifacts=False,
+        checkpoint_dir=ckpt, checkpoint_every=7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.params.user_emb),
+        np.asarray(full.params.user_emb),
+        rtol=2e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.params.item_emb),
+        np.asarray(full.params.item_emb),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
 def test_resume_sharded_dense_path(tmp_path, graph_and_cfg):
     """Mid-train resume under the mesh with DENSE propagation (row-sharded
     tables + item-sharded incidence): the round-3 verdict noted this half was
