@@ -715,6 +715,28 @@ def bench_lambda_sweep() -> tuple:
     return ours_s, ref_iter_s
 
 
+def _run_row(extra: dict, name: str, fn):
+    """Fault-isolate one bench row: a single row's failure (relay
+    remote-compile flake, HTTP hiccup, kernel regression) must NEVER cost
+    the driver record — a live crash here once ate the whole JSON line
+    (observed round 5: the streaming-retrieval row died `INTERNAL:
+    remote_compile: response body closed` and main() never printed).
+    Transient relay errors usually clear on retry, so each row gets one;
+    a second failure is logged, recorded in extra["row_errors"], and the
+    bench moves on."""
+    for attempt in (1, 2):
+        try:
+            return fn()
+        except Exception as exc:
+            log(f"row {name} attempt {attempt} FAILED: "
+                f"{type(exc).__name__}: {exc}")
+            if attempt == 2:
+                extra.setdefault("row_errors", []).append(
+                    f"{name}: {type(exc).__name__}"
+                )
+    return None
+
+
 def main() -> None:
     import jax
 
@@ -737,17 +759,25 @@ def main() -> None:
 
     binary_fits = fits_vmem_binary(graph.n_users, graph.n_items, EMBED_DIM, True)
     tpu_devices = jax.devices()
-    rate_bf16 = bench_train(tpu_devices, hp, graph, TPU_STEPS, "pallas_bf16" if on_tpu else "xla_f32")
-    log(f"train bf16 dense Pallas: {rate_bf16:,.0f} examples/s")
-    extra["train_bf16_pallas_eps"] = round(rate_bf16, 1)
+    rate_bf16 = _run_row(
+        extra, "train_bf16",
+        lambda: bench_train(tpu_devices, hp, graph, TPU_STEPS,
+                            "pallas_bf16" if on_tpu else "xla_f32"),
+    )
+    if rate_bf16 is not None:
+        log(f"train bf16 dense Pallas: {rate_bf16:,.0f} examples/s")
+        extra["train_bf16_pallas_eps"] = round(rate_bf16, 1)
+    tpu_rate = rate_bf16 or 0.0
     if on_tpu and binary_fits:
-        rate_bin = bench_train(tpu_devices, hp, graph, TPU_STEPS, "binary")
-        log(f"train int8 binary-incidence Pallas: {rate_bin:,.0f} examples/s")
-        extra["train_int8_binary_eps"] = round(rate_bin, 1)
-        # headline = what the trainer actually dispatches (the binary path)
-        tpu_rate = rate_bin
-    else:
-        tpu_rate = rate_bf16
+        rate_bin = _run_row(
+            extra, "train_binary",
+            lambda: bench_train(tpu_devices, hp, graph, TPU_STEPS, "binary"),
+        )
+        if rate_bin is not None:
+            log(f"train int8 binary-incidence Pallas: {rate_bin:,.0f} examples/s")
+            extra["train_int8_binary_eps"] = round(rate_bin, 1)
+            # headline = what the trainer actually dispatches (the binary path)
+            tpu_rate = rate_bin
 
     try:
         cpu_devices = jax.devices("cpu")
@@ -760,33 +790,48 @@ def main() -> None:
         log(f"CPU baseline unavailable: {exc}")
         vs_baseline = 1.0
 
-    coo_rate = bench_train_coo(tpu_devices, hp, TPU_STEPS if on_tpu else 5)
-    log(f"train COO/bucketed (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
-    extra["train_coo_50kx30k_eps"] = round(coo_rate, 1)
+    def row_coo():
+        coo_rate = bench_train_coo(tpu_devices, hp, TPU_STEPS if on_tpu else 5)
+        log(f"train COO/bucketed (50k x 30k, 2M edges): {coo_rate:,.0f} examples/s")
+        extra["train_coo_50kx30k_eps"] = round(coo_rate, 1)
 
-    if on_tpu:  # the 3 GB dense program is pointless on the CPU fallback
+    _run_row(extra, "train_coo", row_coo)
+
+    def row_dense_rung():
         dense_rung = bench_train_dense_rung(tpu_devices, hp)
         log(f"train bf16-dense rung (same 50k x 30k): {dense_rung:,.0f} examples/s")
         extra["train_densebf16_50kx30k_eps"] = round(dense_rung, 1)
 
-    fact_s, blk_s = bench_diffusion_tall()
-    log(
-        f"tall-catalog diffusion (2k x 50k, no (I,I) possible): "
-        f"factored {fact_s:.3f}s vs blocked {blk_s:.3f}s ({blk_s / fact_s:.1f}x)"
-    )
-    extra["diffusion_tall_factored_s"] = round(fact_s, 4)
-    extra["diffusion_tall_blocked_s"] = round(blk_s, 4)
+    if on_tpu:  # the 3 GB dense program is pointless on the CPU fallback
+        _run_row(extra, "train_dense_rung", row_dense_rung)
 
-    qps, qps_st = bench_retrieval(graph, K)
-    log(f"retrieval k={K}: {qps:,.0f} users/s dispatched, {qps_st:,.0f} steady")
-    extra["retrieval_qps"] = round(qps, 1)
-    extra["retrieval_qps_steady"] = round(qps_st, 1)
-    qps100, qps100_st = bench_retrieval(graph, 100)
-    log(f"retrieval k=100: {qps100:,.0f} users/s dispatched, {qps100_st:,.0f} steady")
-    extra["retrieval_qps_k100"] = round(qps100, 1)
-    extra["retrieval_qps_k100_steady"] = round(qps100_st, 1)
+    def row_diffusion_tall():
+        fact_s, blk_s = bench_diffusion_tall()
+        log(
+            f"tall-catalog diffusion (2k x 50k, no (I,I) possible): "
+            f"factored {fact_s:.3f}s vs blocked {blk_s:.3f}s ({blk_s / fact_s:.1f}x)"
+        )
+        extra["diffusion_tall_factored_s"] = round(fact_s, 4)
+        extra["diffusion_tall_blocked_s"] = round(blk_s, 4)
 
-    if on_tpu:  # off-TPU both sides are the same XLA program
+    _run_row(extra, "diffusion_tall", row_diffusion_tall)
+
+    def row_retrieval():
+        qps, qps_st = bench_retrieval(graph, K)
+        log(f"retrieval k={K}: {qps:,.0f} users/s dispatched, {qps_st:,.0f} steady")
+        extra["retrieval_qps"] = round(qps, 1)
+        extra["retrieval_qps_steady"] = round(qps_st, 1)
+
+    def row_retrieval_k100():
+        qps100, qps100_st = bench_retrieval(graph, 100)
+        log(f"retrieval k=100: {qps100:,.0f} users/s dispatched, {qps100_st:,.0f} steady")
+        extra["retrieval_qps_k100"] = round(qps100, 1)
+        extra["retrieval_qps_k100_steady"] = round(qps100_st, 1)
+
+    _run_row(extra, "retrieval_k10", row_retrieval)
+    _run_row(extra, "retrieval_k100", row_retrieval_k100)
+
+    def row_streaming():
         sq, xq, agree = bench_streaming_retrieval()
         log(f"streaming retrieval 50k items k=100: {sq:,.0f} users/s vs "
             f"XLA chain {xq:,.0f} ({sq / xq:.2f}x), agreement {agree:.4f}")
@@ -794,35 +839,50 @@ def main() -> None:
         extra["retrieval_stream_50k_xla_qps"] = round(xq, 1)
         extra["retrieval_stream_50k_agree"] = round(agree, 6)
 
-    sqps, sqps_st = bench_serve_fused(graph, cfg.hparams.lambda_, K)
-    log(f"fused serving k={K}: {sqps:,.0f} users/s dispatched, {sqps_st:,.0f} steady")
-    extra["serve_fused_qps"] = round(sqps, 1)
-    extra["serve_fused_qps_steady"] = round(sqps_st, 1)
-    sqps100, sqps100_st = bench_serve_fused(graph, cfg.hparams.lambda_, 100)
-    log(f"fused serving k=100: {sqps100:,.0f} users/s dispatched, {sqps100_st:,.0f} steady")
-    extra["serve_fused_qps_k100"] = round(sqps100, 1)
-    extra["serve_fused_qps_k100_steady"] = round(sqps100_st, 1)
+    if on_tpu:  # off-TPU both sides are the same XLA program
+        _run_row(extra, "streaming_retrieval", row_streaming)
 
-    ref_s, ours_s = bench_reference_diffusion()
-    if ref_s is not None:
-        log(f"reference HybridS chain (actual numpy code): {ref_s:.3f}s; ours: {ours_s:.4f}s")
-        extra["ref_hybrids_ml100k_s"] = round(ref_s, 3)
-        extra["ours_hybrids_ml100k_s"] = round(ours_s, 4)
-        extra["vs_reference_code"] = round(ref_s / ours_s, 1)
+    def row_serve():
+        sqps, sqps_st = bench_serve_fused(graph, cfg.hparams.lambda_, K)
+        log(f"fused serving k={K}: {sqps:,.0f} users/s dispatched, {sqps_st:,.0f} steady")
+        extra["serve_fused_qps"] = round(sqps, 1)
+        extra["serve_fused_qps_steady"] = round(sqps_st, 1)
 
-    sweep_s, ref_iter_s = bench_lambda_sweep()
-    log(f"lambda sweep, {LAMBDA_POINTS} grid points fused on-device: {sweep_s:.3f}s")
-    extra["lambda_sweep_101pts_s"] = round(sweep_s, 3)
-    if ref_iter_s is not None:
-        log(
-            f"reference findLambda body (actual code): {ref_iter_s:.2f}s/point "
-            f"-> {ref_iter_s * LAMBDA_POINTS:.0f}s for the grid "
-            f"({ref_iter_s * LAMBDA_POINTS / sweep_s:.0f}x)"
-        )
-        extra["ref_lambda_point_s"] = round(ref_iter_s, 3)
-        extra["vs_reference_lambda_sweep"] = round(
-            ref_iter_s * LAMBDA_POINTS / sweep_s, 1
-        )
+    def row_serve_k100():
+        sqps100, sqps100_st = bench_serve_fused(graph, cfg.hparams.lambda_, 100)
+        log(f"fused serving k=100: {sqps100:,.0f} users/s dispatched, {sqps100_st:,.0f} steady")
+        extra["serve_fused_qps_k100"] = round(sqps100, 1)
+        extra["serve_fused_qps_k100_steady"] = round(sqps100_st, 1)
+
+    _run_row(extra, "serve_fused_k10", row_serve)
+    _run_row(extra, "serve_fused_k100", row_serve_k100)
+
+    def row_reference_diffusion():
+        ref_s, ours_s = bench_reference_diffusion()
+        if ref_s is not None:
+            log(f"reference HybridS chain (actual numpy code): {ref_s:.3f}s; ours: {ours_s:.4f}s")
+            extra["ref_hybrids_ml100k_s"] = round(ref_s, 3)
+            extra["ours_hybrids_ml100k_s"] = round(ours_s, 4)
+            extra["vs_reference_code"] = round(ref_s / ours_s, 1)
+
+    _run_row(extra, "reference_diffusion", row_reference_diffusion)
+
+    def row_lambda_sweep():
+        sweep_s, ref_iter_s = bench_lambda_sweep()
+        log(f"lambda sweep, {LAMBDA_POINTS} grid points fused on-device: {sweep_s:.3f}s")
+        extra["lambda_sweep_101pts_s"] = round(sweep_s, 3)
+        if ref_iter_s is not None:
+            log(
+                f"reference findLambda body (actual code): {ref_iter_s:.2f}s/point "
+                f"-> {ref_iter_s * LAMBDA_POINTS:.0f}s for the grid "
+                f"({ref_iter_s * LAMBDA_POINTS / sweep_s:.0f}x)"
+            )
+            extra["ref_lambda_point_s"] = round(ref_iter_s, 3)
+            extra["vs_reference_lambda_sweep"] = round(
+                ref_iter_s * LAMBDA_POINTS / sweep_s, 1
+            )
+
+    _run_row(extra, "lambda_sweep", row_lambda_sweep)
 
     # On-chip kernel-contract smoke (VERDICT r4 #7): pin the Pallas-vs-XLA
     # contracts in every round's driver record — the round-4 f32-truncation
@@ -872,11 +932,16 @@ def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str
         extra["kernel_contracts"] = [str(f)[:120] for f in kc[:5]] + (
             [f"... +{len(kc) - 5} more (see {stats_path})"] if len(kc) > 5 else []
         )
+    re_ = extra.get("row_errors")
+    if isinstance(re_, list):  # same budget discipline as kernel_contracts
+        extra["row_errors"] = [str(f)[:80] for f in re_[:8]] + (
+            [f"... +{len(re_) - 8} more (see {stats_path})"] if len(re_) > 8 else []
+        )
     line = json.dumps(record)
     if len(line) > 1500:  # last-resort: drop extras until the contract holds
         log(f"WARNING: bench line {len(line)} chars > 1500; trimming extras")
         for key in list(extra.keys())[::-1]:
-            if key in ("kernel_contracts", "stats_file"):
+            if key in ("kernel_contracts", "stats_file", "row_errors"):
                 continue
             del extra[key]
             line = json.dumps(record)

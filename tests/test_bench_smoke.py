@@ -64,6 +64,49 @@ def test_bench_lambda_sweep_row(monkeypatch):
         assert ref_iter_s > 0
 
 
+def test_run_row_isolates_failures_and_retries_once():
+    """A bench row that dies (relay remote-compile flake) must not cost the
+    driver record: _run_row retries once (transient relay errors clear on
+    retry — observed live: `INTERNAL: remote_compile: response body closed`
+    killed main() before any JSON was printed), then records the failure in
+    extra["row_errors"] and moves on."""
+    extra = {}
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("INTERNAL: remote_compile: body closed")
+        return 42
+
+    assert bench._run_row(extra, "flaky_row", flaky) == 42
+    assert calls["n"] == 2 and "row_errors" not in extra
+
+    def dead():
+        raise RuntimeError("INTERNAL: remote_compile: body closed")
+
+    assert bench._run_row(extra, "dead_row", dead) is None
+    assert extra["row_errors"] == ["dead_row: RuntimeError"]
+
+
+def test_format_record_budgets_row_errors(tmp_path, monkeypatch):
+    """row_errors is truncated to the same line budget as kernel_contracts
+    and survives the last-resort extras trim."""
+    import json
+
+    monkeypatch.setattr(bench, "STATS", {})
+    extra = {f"metric_{i}": 123456.7 for i in range(20)}
+    extra["row_errors"] = [f"row_{i}: SomeVeryLongExceptionName" + "Y" * 200
+                           for i in range(12)]
+    line = bench.format_record(1000.0, 2.0, "synthetic", extra, out_dir=str(tmp_path))
+    assert len(line) < 1500
+    rec = json.loads(line)
+    re_ = rec["extra"]["row_errors"]
+    assert isinstance(re_, list) and len(re_) == 9  # 8 entries + overflow marker
+    assert all(len(e) <= 120 for e in re_[:-1])
+    assert "+4 more" in re_[-1]
+
+
 def test_format_record_driver_contract(tmp_path, monkeypatch):
     """The printed bench line must stay parseable within the driver's 2000-char
     stdout-tail capture (BENCH_r04 "parsed": null regression): final line
