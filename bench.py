@@ -927,15 +927,16 @@ def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str
     # kernel_contracts itself must respect the budget: a smoke crash embeds
     # an exception string that on this relay can run multi-KB — exactly the
     # run where the record matters most. Full text survives in the side file.
+    side_name = os.path.basename(stats_path)
     kc = extra.get("kernel_contracts")
     if isinstance(kc, list):
         extra["kernel_contracts"] = [str(f)[:120] for f in kc[:5]] + (
-            [f"... +{len(kc) - 5} more (see {stats_path})"] if len(kc) > 5 else []
+            [f"... +{len(kc) - 5} more (see {side_name})"] if len(kc) > 5 else []
         )
     re_ = extra.get("row_errors")
     if isinstance(re_, list):  # same budget discipline as kernel_contracts
         extra["row_errors"] = [str(f)[:80] for f in re_[:8]] + (
-            [f"... +{len(re_) - 8} more (see {stats_path})"] if len(re_) > 8 else []
+            [f"... +{len(re_) - 8} more (see {side_name})"] if len(re_) > 8 else []
         )
     line = json.dumps(record)
     if len(line) > 1500:  # last-resort: drop extras until the contract holds
@@ -947,6 +948,19 @@ def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str
             line = json.dumps(record)
             if len(line) <= 1500:
                 break
+    # The protected failure lists are truncated in RAW chars above, but
+    # json.dumps escaping of relay exception text (quotes/backslashes/
+    # control bytes) can double their printed width — with both lists maxed
+    # this alone can re-blow the budget after every metric is gone (round-5
+    # review finding). Collapse them to bounded summaries, worst first.
+    for key, label in (("row_errors", "rows failed"),
+                       ("kernel_contracts", "checks failed")):
+        if len(line) <= 1500:
+            break
+        val = extra.get(key)
+        if isinstance(val, list):
+            extra[key] = f"{len(val)} {label} (see {side_name})"
+            line = json.dumps(record)
     return line
 
 

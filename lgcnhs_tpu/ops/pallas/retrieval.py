@@ -158,6 +158,35 @@ def fused_topk_retrieval(
 # -- item-tiled streaming flavor: no catalog-size VMEM cap (VERDICT r4 #5) --
 
 
+def _stream_resident_bytes(d: int, k_pad: int, tile: int) -> int:
+    """Streaming kernel resident set per core: double-buffered streamed
+    item/seen tiles + user tile + work scratch + (idx, val) accumulators.
+    Independent of the catalog size; linear in the item tile and in D."""
+    return (
+        2 * (tile * d * 4 + USER_BLOCK * tile)  # pipelined item f32 + seen i8
+        + USER_BLOCK * d * 4
+        + USER_BLOCK * (k_pad + tile) * 4
+        + 2 * USER_BLOCK * k_pad * 4
+    )
+
+
+def pick_stream_tile(d: int, k: int, budget: int = _VMEM_BUDGET):
+    """Largest power-of-two item tile (<= the measured-optimal 4096, >= 128)
+    whose streaming resident set fits VMEM, or None when even 128 does not
+    (pathological D) — dispatchers then fall back to the XLA chain. The
+    catalog-independent resident set is ~5.4 MB at D=64/k=100 with the
+    default tile, but grows linearly in D: at D >= ~768 the 4096-wide tile
+    alone would blow the core budget (round-5 review finding), so wide-D
+    configs stream with narrower tiles instead of failing to compile."""
+    k_pad = max(128, -(-k // 128) * 128)
+    tile = 4096
+    while tile >= 128:
+        if _stream_resident_bytes(d, k_pad, tile) <= budget:
+            return tile
+        tile //= 2
+    return None
+
+
 def _streaming_kernel(u_ref, it_ref, seen_ref, idx_ref, val_ref,
                       work_vals, *, k: int, k_pad: int):
     """Grid (user blocks, item tiles): the (USER_BLOCK, k_pad) accumulator
@@ -238,7 +267,7 @@ def streaming_topk_retrieval(
     item_emb: jnp.ndarray,  # (I, D)
     seen: jnp.ndarray,  # (U, I) bool or int8 tri-state
     k: int,
-    item_tile: int = 4096,
+    item_tile: int = None,
     interpret: bool = False,
 ):
     """``fused_topk_retrieval`` without the ~13k-item VMEM cap: the item
@@ -252,8 +281,10 @@ def streaming_topk_retrieval(
     lanes, so small tiles pay the k·k_pad merge overhead once per tile:
     measured on-chip at I=50k, k=100, tile 512 ran 0.53x the XLA chain,
     tile 2048 1.19x, tile 4096 1.41x (and 1.26x at I=200k with 2048) —
-    hence the wide default. VMEM residency at the default is ~4 MB
-    (scratch + tiles), comfortable at any D the models use.
+    hence the wide default. ``item_tile=None`` auto-picks the widest tile
+    whose resident set fits VMEM (``pick_stream_tile``: 4096 at model D,
+    ~4-5 MB resident; narrower automatically at wide D instead of a Mosaic
+    compile failure).
 
     Index contract: identical to ``masked_topk``/``fused_topk_retrieval``
     (HIGHEST-precision scores, torch.topk lowest-index ties, tri-state mask
@@ -261,10 +292,19 @@ def streaming_topk_retrieval(
     whose real candidates run out (possible only with sharding padding)
     fill the tail with id-0 sentinel slots at -inf, like the one-shot
     kernel's padded-lane behavior."""
-    if item_tile % 128 != 0 and not interpret:
-        raise ValueError(f"item_tile must be a multiple of 128, got {item_tile}")
     U, D = user_emb.shape
     I = item_emb.shape[0]
+    if item_tile is None:
+        # widest tile whose resident set fits VMEM (the measured-optimal
+        # 4096 at model D; narrower automatically at wide D)
+        item_tile = pick_stream_tile(D, min(k, I)) if not interpret else 512
+        if item_tile is None:
+            raise ValueError(
+                f"no streaming item tile fits VMEM at D={D}, k={k} — "
+                "use the XLA masked_topk chain"
+            )
+    if item_tile % 128 != 0 and not interpret:
+        raise ValueError(f"item_tile must be a multiple of 128, got {item_tile}")
     k_eff = min(k, I)
     k_pad = -(-k_eff // 128) * 128 if not interpret else k_eff
 

@@ -253,7 +253,23 @@ def _bucket_caps(deg: np.ndarray, min_cap: int, quantum: int = 8) -> np.ndarray:
     return caps
 
 
-def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
+class EllGrouping(NamedTuple):
+    """Host-side per-device intermediates of the quantized-cap ELL grouping
+    (one aggregation direction): edges sorted by destination, per-node
+    degrees/rowptr, the present nodes and their ``_bucket_caps`` capacities.
+    Shared by the single-chip ``_bucketize_side`` and the mesh
+    ``parallel.sharding._bucketize_side_sharded`` (which adds cross-device
+    cap-union/row-padding on top) so the grouping spec lives in ONE place."""
+
+    nbrs_s: np.ndarray  # neighbor ids, edge order sorted by destination
+    w_s: np.ndarray  # edge weights, same order
+    deg: np.ndarray  # (n_out,) destination degrees
+    rowptr: np.ndarray  # (n_out + 1,) prefix sums of deg
+    present: np.ndarray  # destination ids with deg > 0
+    caps: np.ndarray  # per-present-node ELL row capacity
+
+
+def _ell_group(ids, nbrs, w, n_out: int, min_cap: int) -> EllGrouping:
     ids = np.asarray(ids)
     nbrs = np.asarray(nbrs)
     # preserve the weight dtype (f64 under x64 parity runs; f32 otherwise)
@@ -262,26 +278,45 @@ def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
         w = w.astype(np.float32)
     order = np.argsort(ids, kind="stable")
     ids_s, nbrs_s, w_s = ids[order], nbrs[order], w[order]
-    deg = np.bincount(ids_s, minlength=n_out)
+    deg = np.bincount(ids_s, minlength=n_out) if ids_s.size else np.zeros(
+        n_out, np.int64
+    )
     rowptr = np.concatenate([[0], np.cumsum(deg)])
     present = np.nonzero(deg)[0]
+    caps = (
+        _bucket_caps(deg[present], min_cap)
+        if present.size
+        else np.zeros(0, np.int64)
+    )
+    return EllGrouping(nbrs_s, w_s, deg, rowptr, present, caps)
+
+
+def _ell_fill(g: EllGrouping, sel: np.ndarray, cap: int, w_dtype):
+    """(nbr, w) ELL matrices (len(sel), cap) for the selected destination
+    nodes: per-row gather of the sorted edge block, zero-padded past each
+    row's degree. The ``posc`` clamp keeps the padded-lane gather in
+    bounds; ``valid`` zeroes it out."""
+    base = g.rowptr[sel]
+    pos = base[:, None] + np.arange(cap)[None, :]
+    valid = np.arange(cap)[None, :] < g.deg[sel][:, None]
+    posc = np.minimum(pos, max(g.nbrs_s.shape[0] - 1, 0))
+    nbr_m = np.where(valid, g.nbrs_s[posc], 0).astype(np.int32)
+    w_m = np.where(valid, g.w_s[posc], 0.0).astype(w_dtype)
+    return nbr_m, w_m
+
+
+def _bucketize_side(ids, nbrs, w, n_out: int, min_cap: int) -> BucketedSide:
+    g = _ell_group(ids, nbrs, w, n_out, min_cap)
     nbr_mats, w_mats = [], []
     inv = np.full(n_out, -1, np.int64)
     row_base = 0
-    if present.size:
-        caps = _bucket_caps(deg[present], min_cap)
-        for cap in np.unique(caps):
-            sel = present[caps == cap]
-            base = rowptr[sel]
-            pos = base[:, None] + np.arange(cap)[None, :]
-            valid = np.arange(cap)[None, :] < deg[sel][:, None]
-            posc = np.minimum(pos, max(ids_s.shape[0] - 1, 0))
-            nbr_mats.append(
-                np.where(valid, nbrs_s[posc], 0).astype(np.int32)
-            )
-            w_mats.append(np.where(valid, w_s[posc], 0.0).astype(w.dtype))
-            inv[sel] = row_base + np.arange(sel.shape[0])
-            row_base += sel.shape[0]
+    for cap in np.unique(g.caps):
+        sel = g.present[g.caps == cap]
+        nbr_m, w_m = _ell_fill(g, sel, int(cap), g.w_s.dtype)
+        nbr_mats.append(nbr_m)
+        w_mats.append(w_m)
+        inv[sel] = row_base + np.arange(sel.shape[0])
+        row_base += sel.shape[0]
     inv[inv < 0] = row_base  # the appended zeros row
     return BucketedSide(
         tuple(jnp.asarray(m) for m in nbr_mats),

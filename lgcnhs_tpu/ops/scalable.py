@@ -164,12 +164,15 @@ def _chunk_masked_topk(ue_chunk, item_emb, rows, cols, valid, k):
         from lgcnhs_tpu.ops.pallas.retrieval import (
             fits_vmem_retrieval,
             fused_topk_retrieval,
+            pick_stream_tile,
             streaming_topk_retrieval,
         )
 
         if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
             return fused_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
-        return streaming_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
+        if pick_stream_tile(item_emb.shape[1], k) is not None:
+            return streaming_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
+        # pathological D: no streaming tile fits VMEM — XLA chain below
     scores = jnp.dot(
         ue_chunk, item_emb.T,
         precision=jax.lax.Precision.HIGHEST,

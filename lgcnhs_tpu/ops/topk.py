@@ -150,14 +150,17 @@ def retrieve_topk(
         from lgcnhs_tpu.ops.pallas.retrieval import (
             fits_vmem_retrieval,
             fused_topk_retrieval,
+            pick_stream_tile,
             streaming_topk_retrieval,
         )
 
         if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
             idx, _ = fused_topk_retrieval(user_emb, item_emb, seen, k)
             return idx
-        idx, _ = streaming_topk_retrieval(user_emb, item_emb, seen, k)
-        return idx
+        if pick_stream_tile(item_emb.shape[1], k) is not None:
+            idx, _ = streaming_topk_retrieval(user_emb, item_emb, seen, k)
+            return idx
+        # pathological D: no streaming tile fits VMEM either — XLA chain
     scores = jnp.dot(
         user_emb,
         item_emb.T,

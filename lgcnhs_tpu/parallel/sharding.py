@@ -242,17 +242,22 @@ def distributed_retrieve_topk(
 
     def local(ue, ie_blk, seen_blk):
         base = jax.lax.axis_index(MODEL_AXIS) * block
-        use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
-            from lgcnhs_tpu.ops.pallas.retrieval import (
-                fits_vmem_retrieval,
-                fused_topk_retrieval,
-                streaming_topk_retrieval,
-            )
+        from lgcnhs_tpu.ops.pallas.retrieval import (
+            fits_vmem_retrieval,
+            fused_topk_retrieval,
+            pick_stream_tile,
+            streaming_topk_retrieval,
+        )
 
+        one_shot = fits_vmem_retrieval(block, ie_blk.shape[1])
+        stream_tile = pick_stream_tile(ie_blk.shape[1], k)
+        use_pallas = jax.default_backend() == "tpu" and (
+            one_shot or stream_tile is not None
+        )
+        if use_pallas:
             # the kernels map state-2 columns (incl. their own lane padding)
             # to -inf; the demotion below is defense in depth only
-            if fits_vmem_retrieval(block, ie_blk.shape[1]):
+            if one_shot:
                 idx, vals = fused_topk_retrieval(ue, ie_blk, seen_blk, k)
             else:
                 # shard block still beyond the one-shot cap: stream item
@@ -550,14 +555,12 @@ def _self_adjoint_sharded_pair(sm_pair):
 
 
 def _layer_mean_pair(pair, ue, ie, se, n_layers: int):
-    eu, ei = ue, ie
-    acc_u, acc_i = eu, ei
-    for _ in range(n_layers):
-        eu, ei = pair(eu, ei, se)
-        acc_u = acc_u + eu
-        acc_i = acc_i + ei
-    scale = 1.0 / (n_layers + 1)
-    return acc_u * scale, acc_i * scale
+    """``ops.propagation._layer_mean`` (the K-layer + layer-stack-mean spec,
+    ``model/LightGCN/model.py:60-72``) with the edge structures threaded
+    through — one spec, not a second copy."""
+    from lgcnhs_tpu.ops.propagation import _layer_mean
+
+    return _layer_mean(lambda u, i: pair(u, i, se), ue, ie, n_layers)
 
 
 def _coo_propagate_sharded(plan: ShardingPlan, n_users: int, n_items: int,
@@ -630,35 +633,21 @@ def _bucketize_side_sharded(ids_blocks, nbr_blocks, w_blocks, n_out: int,
     the max so every device runs the identical program on identically-shaped
     blocks. Padded rows are all-zero (nbr 0, w 0) and unreferenced by inv."""
     n_dev = len(ids_blocks)
-    from lgcnhs_tpu.ops.propagation import _bucket_caps
+    from lgcnhs_tpu.ops.propagation import _ell_fill, _ell_group
 
-    w_dtype = w_blocks[0].dtype
+    w_dtype = np.asarray(w_blocks[0]).dtype
     if not np.issubdtype(w_dtype, np.floating):
         w_dtype = np.float32
-    per_dev = []
-    cap_values = set()
-    for ids, nbrs, w in zip(ids_blocks, nbr_blocks, w_blocks):
-        ids = np.asarray(ids)
-        order = np.argsort(ids, kind="stable")
-        ids_s = ids[order]
-        nbrs_s = np.asarray(nbrs)[order]
-        w_s = np.asarray(w)[order]
-        deg = np.bincount(ids_s, minlength=n_out) if ids_s.size else np.zeros(
-            n_out, np.int64
-        )
-        rowptr = np.concatenate([[0], np.cumsum(deg)])
-        present = np.nonzero(deg)[0]
-        caps = (
-            _bucket_caps(deg[present], min_cap)
-            if present.size
-            else np.zeros(0, np.int64)
-        )
-        cap_values.update(int(c) for c in caps)
-        per_dev.append((ids_s, nbrs_s, w_s, deg, rowptr, present, caps))
+    # per-device grouping is the SAME spec as the single-chip layout
+    # (ops.propagation._ell_group / _ell_fill — one place to fix)
+    per_dev = [
+        _ell_group(ids, nbrs, w, n_out, min_cap)
+        for ids, nbrs, w in zip(ids_blocks, nbr_blocks, w_blocks)
+    ]
 
-    caps_sorted = sorted(cap_values)
+    caps_sorted = sorted({int(c) for g in per_dev for c in g.caps})
     rows_per_cap = {
-        c: max(int((pd[6] == c).sum()) for pd in per_dev) for c in caps_sorted
+        c: max(int((g.caps == c).sum()) for g in per_dev) for c in caps_sorted
     }
     total_rows = sum(rows_per_cap.values())
     inv = np.full((n_dev, n_out), total_rows, np.int64)  # default: zeros row
@@ -668,18 +657,13 @@ def _bucketize_side_sharded(ids_blocks, nbr_blocks, w_blocks, n_out: int,
         nb_rows = rows_per_cap[c]
         nbr_m = np.zeros((n_dev, nb_rows, c), np.int32)
         w_m = np.zeros((n_dev, nb_rows, c), w_dtype)
-        for d, (ids_s, nbrs_s, w_s, deg, rowptr, present, caps) in enumerate(
-            per_dev
-        ):
-            sel = present[caps == c]
+        for d, g in enumerate(per_dev):
+            sel = g.present[g.caps == c]
             if sel.size == 0:
                 continue
-            base = rowptr[sel]
-            pos = base[:, None] + np.arange(c)[None, :]
-            valid = np.arange(c)[None, :] < deg[sel][:, None]
-            posc = np.minimum(pos, max(ids_s.shape[0] - 1, 0))
-            nbr_m[d, : sel.size] = np.where(valid, nbrs_s[posc], 0)
-            w_m[d, : sel.size] = np.where(valid, w_s[posc], 0.0)
+            nbr_m[d, : sel.size], w_m[d, : sel.size] = _ell_fill(
+                g, sel, c, w_dtype
+            )
             inv[d, sel] = offset + np.arange(sel.size)
         nbr_mats.append(jax.device_put(jnp.asarray(nbr_m), edge_shard_of(3)))
         w_mats.append(jax.device_put(jnp.asarray(w_m), edge_shard_of(3)))

@@ -107,6 +107,26 @@ def test_format_record_budgets_row_errors(tmp_path, monkeypatch):
     assert "+4 more" in re_[-1]
 
 
+def test_format_record_collapses_escaped_failure_lists(tmp_path, monkeypatch):
+    """Relay exception text full of quotes/backslashes doubles under
+    json.dumps escaping; with both protected lists maxed out the line could
+    re-blow the 1500-char budget after every metric was trimmed. The
+    last-resort collapse replaces each list with a bounded summary string."""
+    import json
+
+    monkeypatch.setattr(bench, "STATS", {})
+    evil = '"\\' * 60  # 120 raw chars -> 240 escaped
+    extra = {f"metric_{i}": 123456.7 for i in range(20)}
+    extra["kernel_contracts"] = [f"check_{i}: {evil}" for i in range(8)]
+    extra["row_errors"] = [f"row_{i}: {evil}" for i in range(12)]
+    line = bench.format_record(1000.0, 2.0, "synthetic", extra, out_dir=str(tmp_path))
+    assert len(line) < 1500
+    rec = json.loads(line)
+    assert isinstance(rec["extra"]["row_errors"], str)
+    assert "rows failed" in rec["extra"]["row_errors"]
+    assert "BENCH_STATS.json" in rec["extra"]["row_errors"]
+
+
 def test_format_record_driver_contract(tmp_path, monkeypatch):
     """The printed bench line must stay parseable within the driver's 2000-char
     stdout-tail capture (BENCH_r04 "parsed": null regression): final line

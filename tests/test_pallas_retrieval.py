@@ -166,6 +166,40 @@ class TestStreamingRetrieval:
         want = np.asarray(masked_topk(jnp.asarray(scores), jnp.asarray(seen), 9))
         np.testing.assert_array_equal(idx, want)
 
+    def test_pick_stream_tile_vmem_guard(self):
+        """Dispatch guard (round-5 review finding): the streaming resident
+        set is catalog-independent but linear in D — at wide D the default
+        4096 tile alone would blow the ~12 MB budget and Mosaic would fail
+        to compile where the old code fell back to XLA. pick_stream_tile
+        narrows the tile instead, and returns None (-> XLA fallback in
+        retrieve_topk/_chunk_masked_topk/distributed_retrieve_topk) only
+        when even a 128-wide tile cannot fit."""
+        from lgcnhs_tpu.ops.pallas.retrieval import (
+            _VMEM_BUDGET,
+            _stream_resident_bytes,
+            pick_stream_tile,
+        )
+
+        assert pick_stream_tile(64, 100) == 4096  # model D: measured optimum
+        wide = pick_stream_tile(1024, 100)
+        assert wide is not None and wide < 4096
+        assert _stream_resident_bytes(1024, 128, wide) <= _VMEM_BUDGET
+        assert _stream_resident_bytes(1024, 128, wide * 2) > _VMEM_BUDGET
+        assert pick_stream_tile(200_000, 100) is None  # pathological D
+
+    def test_auto_tile_matches_explicit(self):
+        """item_tile=None auto-picks a tile; indices identical to an
+        explicit-tile call and to masked_topk."""
+        from lgcnhs_tpu.ops.pallas.retrieval import streaming_topk_retrieval
+
+        ue, ie, seen = self._problem(12, 700)
+        idx_auto, _ = streaming_topk_retrieval(ue, ie, seen, 5, interpret=True)
+        idx_exp, _ = streaming_topk_retrieval(ue, ie, seen, 5, item_tile=256,
+                                              interpret=True)
+        want = np.asarray(masked_topk(ue @ ie.T, seen, 5))
+        np.testing.assert_array_equal(np.asarray(idx_auto), want)
+        np.testing.assert_array_equal(np.asarray(idx_exp), want)
+
     def test_dispatches_beyond_one_shot_cap(self):
         """The streaming kernel's resident set is catalog-size independent:
         50k items (where fits_vmem_retrieval=False at D=64) must produce
