@@ -139,6 +139,36 @@ def run_checks(emit=print) -> list:
         f"{(want_big != got_big).sum()} mismatched slots",
     )
 
+    # 1c. wide-D streaming: the resident set is linear in D, so at D=1024
+    # pick_stream_tile must NARROW the tile (the fixed 4096 tile fails
+    # Mosaic compilation there) and the narrowed kernel must still match
+    # masked_topk exactly (round-5 review finding + on-chip proof).
+    from lgcnhs_tpu.ops.pallas.retrieval import pick_stream_tile
+
+    D_W, I_W, U_W = 1024, 16_384, 128
+    tile_w = pick_stream_tile(D_W, 100)
+    check(
+        "wide-D (1024) picks a narrowed streaming tile",
+        tile_w is not None and tile_w < 4096,
+        f"tile {tile_w}",
+    )
+    ue_w = jnp.asarray(rng.standard_normal((U_W, D_W)).astype(np.float32) * 0.1)
+    ie_w = jnp.asarray(rng.standard_normal((I_W, D_W)).astype(np.float32) * 0.1)
+    seen_w = jnp.asarray(rng.random((U_W, I_W)) < 0.05)
+    want_w = np.asarray(
+        masked_topk(
+            jnp.dot(ue_w, ie_w.T, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32),
+            seen_w, 100,
+        )
+    )
+    got_w = np.asarray(streaming_topk_retrieval(ue_w, ie_w, seen_w, 100)[0])
+    check(
+        "wide-D streaming @D=1024 k=100 == masked_topk",
+        bool((want_w == got_w).all()),
+        f"tile {tile_w}, {(want_w != got_w).sum()} mismatched slots",
+    )
+
     # 2. fused serving kernel vs the XLA chain. Both serving flavors run
     # native MXU precision BY DESIGN (HIGHEST blows the kernel's VMEM and
     # costs 7x — see ops/pallas/fusion_serve.py), so the contract is:
