@@ -200,6 +200,45 @@ class TestStreamingRetrieval:
         np.testing.assert_array_equal(np.asarray(idx_auto), want)
         np.testing.assert_array_equal(np.asarray(idx_exp), want)
 
+    def test_fuzz_matches_masked_topk(self):
+        """Seeded breadth fuzz of the streaming merge: random shapes, k,
+        tiles (incl. non-dividing ones that force lane padding), seen
+        densities, an occasional all-seen user, and int8 tri-state masks
+        with explicit state-2 (invalid) columns. Every config must produce
+        masked_topk's exact indices (state-2 columns masked to -inf on the
+        XLA side)."""
+        from lgcnhs_tpu.ops.pallas.retrieval import streaming_topk_retrieval
+
+        rng = np.random.default_rng(123)
+        for trial in range(8):
+            U = int(rng.integers(3, 30))
+            I = int(rng.integers(40, 700))
+            d = int(rng.choice([4, 8, 16]))
+            k = int(rng.integers(1, min(I, 40)))
+            tile = int(rng.choice([32, 64, 128, 256]))
+            ue = rng.standard_normal((U, d)).astype(np.float32)
+            ie = rng.standard_normal((I, d)).astype(np.float32)
+            seen8 = (rng.random((U, I)) < rng.uniform(0.05, 0.6)).astype(np.int8)
+            if trial % 2:  # tri-state: a block of invalid (state 2) columns
+                n_inv = int(rng.integers(1, I // 4 + 1))
+                seen8[:, I - n_inv:] = 2
+            if trial % 3 == 0:
+                seen8[0, :] = np.where(seen8[0] == 2, 2, 1)  # all-seen user
+            scores = ue @ ie.T
+            masked = np.where(seen8 == 1, -1024.0, scores)
+            masked = np.where(seen8 >= 2, -np.inf, masked)
+            want = np.asarray(
+                jax.lax.top_k(jnp.asarray(masked), k)[1]
+            )
+            got, _ = streaming_topk_retrieval(
+                jnp.asarray(ue), jnp.asarray(ie), jnp.asarray(seen8), k,
+                item_tile=tile, interpret=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(got), want,
+                err_msg=f"trial={trial} U={U} I={I} d={d} k={k} tile={tile}",
+            )
+
     def test_dispatches_beyond_one_shot_cap(self):
         """The streaming kernel's resident set is catalog-size independent:
         50k items (where fits_vmem_retrieval=False at D=64) must produce
