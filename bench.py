@@ -731,8 +731,13 @@ def _run_row(extra: dict, name: str, fn):
             log(f"row {name} attempt {attempt} FAILED: "
                 f"{type(exc).__name__}: {exc}")
             if attempt == 2:
+                # keep the MESSAGE, not just the type: two different relay
+                # failures share XlaRuntimeError, and the driver's 2000-char
+                # stdout tail won't include early log lines. format_record
+                # writes this full entry to the side file BEFORE the printed
+                # line truncates it to 80 chars.
                 extra.setdefault("row_errors", []).append(
-                    f"{name}: {type(exc).__name__}"
+                    f"{name}: {type(exc).__name__}: {str(exc)[:2000]}"
                 )
     return None
 
@@ -767,6 +772,10 @@ def main() -> None:
     if rate_bf16 is not None:
         log(f"train bf16 dense Pallas: {rate_bf16:,.0f} examples/s")
         extra["train_bf16_pallas_eps"] = round(rate_bf16, 1)
+    else:
+        # the headline metric itself is unmeasured: 0.0 would read as a
+        # 1.19M -> 0 collapse in any cross-round comparison — flag it
+        extra["headline_missing"] = True
     tpu_rate = rate_bf16 or 0.0
     if on_tpu and binary_fits:
         rate_bin = _run_row(
@@ -778,6 +787,7 @@ def main() -> None:
             extra["train_int8_binary_eps"] = round(rate_bin, 1)
             # headline = what the trainer actually dispatches (the binary path)
             tpu_rate = rate_bin
+            extra.pop("headline_missing", None)  # the binary row measured it
 
     try:
         cpu_devices = jax.devices("cpu")
@@ -928,13 +938,19 @@ def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str
     # an exception string that on this relay can run multi-KB — exactly the
     # run where the record matters most. Full text survives in the side file.
     side_name = os.path.basename(stats_path)
+    # pre-truncation failure counts: the collapse summaries below must report
+    # how many ACTUALLY failed, not the truncated list length (which includes
+    # the "+N more" marker)
+    true_counts = {}
     kc = extra.get("kernel_contracts")
     if isinstance(kc, list):
+        true_counts["kernel_contracts"] = len(kc)
         extra["kernel_contracts"] = [str(f)[:120] for f in kc[:5]] + (
             [f"... +{len(kc) - 5} more (see {side_name})"] if len(kc) > 5 else []
         )
     re_ = extra.get("row_errors")
     if isinstance(re_, list):  # same budget discipline as kernel_contracts
+        true_counts["row_errors"] = len(re_)
         extra["row_errors"] = [str(f)[:80] for f in re_[:8]] + (
             [f"... +{len(re_) - 8} more (see {side_name})"] if len(re_) > 8 else []
         )
@@ -957,9 +973,8 @@ def format_record(tpu_rate, vs_baseline, provenance, extra, out_dir=None) -> str
                        ("kernel_contracts", "checks failed")):
         if len(line) <= 1500:
             break
-        val = extra.get(key)
-        if isinstance(val, list):
-            extra[key] = f"{len(val)} {label} (see {side_name})"
+        if isinstance(extra.get(key), list):
+            extra[key] = f"{true_counts[key]} {label} (see {side_name})"
             line = json.dumps(record)
     return line
 

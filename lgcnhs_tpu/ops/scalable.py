@@ -170,8 +170,11 @@ def _chunk_masked_topk(ue_chunk, item_emb, rows, cols, valid, k):
 
         if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
             return fused_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
-        if pick_stream_tile(item_emb.shape[1], k) is not None:
-            return streaming_topk_retrieval(ue_chunk, item_emb, seen, k)[0]
+        tile = pick_stream_tile(item_emb.shape[1], min(k, item_emb.shape[0]))
+        if tile is not None:
+            return streaming_topk_retrieval(
+                ue_chunk, item_emb, seen, k, item_tile=tile
+            )[0]
         # pathological D: no streaming tile fits VMEM — XLA chain below
     scores = jnp.dot(
         ue_chunk, item_emb.T,

@@ -157,8 +157,13 @@ def retrieve_topk(
         if fits_vmem_retrieval(item_emb.shape[0], item_emb.shape[1]):
             idx, _ = fused_topk_retrieval(user_emb, item_emb, seen, k)
             return idx
-        if pick_stream_tile(item_emb.shape[1], k) is not None:
-            idx, _ = streaming_topk_retrieval(user_emb, item_emb, seen, k)
+        tile = pick_stream_tile(
+            item_emb.shape[1], min(k, item_emb.shape[0])
+        )
+        if tile is not None:
+            idx, _ = streaming_topk_retrieval(
+                user_emb, item_emb, seen, k, item_tile=tile
+            )
             return idx
         # pathological D: no streaming tile fits VMEM either — XLA chain
     scores = jnp.dot(

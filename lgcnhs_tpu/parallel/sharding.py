@@ -250,7 +250,7 @@ def distributed_retrieve_topk(
         )
 
         one_shot = fits_vmem_retrieval(block, ie_blk.shape[1])
-        stream_tile = pick_stream_tile(ie_blk.shape[1], k)
+        stream_tile = pick_stream_tile(ie_blk.shape[1], min(k, block))
         use_pallas = jax.default_backend() == "tpu" and (
             one_shot or stream_tile is not None
         )
@@ -262,7 +262,9 @@ def distributed_retrieve_topk(
             else:
                 # shard block still beyond the one-shot cap: stream item
                 # tiles with the running top-k merge (VERDICT r4 #5)
-                idx, vals = streaming_topk_retrieval(ue, ie_blk, seen_blk, k)
+                idx, vals = streaming_topk_retrieval(
+                    ue, ie_blk, seen_blk, k, item_tile=stream_tile
+                )
             vals = jnp.where(idx + base >= n_items, -jnp.inf, vals)
         else:
             scores = jnp.dot(

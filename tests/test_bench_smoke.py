@@ -86,7 +86,11 @@ def test_run_row_isolates_failures_and_retries_once():
         raise RuntimeError("INTERNAL: remote_compile: body closed")
 
     assert bench._run_row(extra, "dead_row", dead) is None
-    assert extra["row_errors"] == ["dead_row: RuntimeError"]
+    # the MESSAGE is kept (two relay failure modes share XlaRuntimeError);
+    # the printed line truncates it, the side file keeps it
+    assert extra["row_errors"] == [
+        "dead_row: RuntimeError: INTERNAL: remote_compile: body closed"
+    ]
 
 
 def test_format_record_budgets_row_errors(tmp_path, monkeypatch):

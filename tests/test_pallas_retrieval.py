@@ -222,6 +222,11 @@ class TestStreamingRetrieval:
             if trial % 2:  # tri-state: a block of invalid (state 2) columns
                 n_inv = int(rng.integers(1, I // 4 + 1))
                 seen8[:, I - n_inv:] = 2
+                # stay in the >= k-real-candidates regime: below it the
+                # kernel's documented tail contract (id-0 sentinel slots)
+                # intentionally diverges from the lax.top_k oracle, which
+                # would return the -inf columns' indices
+                k = min(k, I - n_inv)
             if trial % 3 == 0:
                 seen8[0, :] = np.where(seen8[0] == 2, 2, 1)  # all-seen user
             scores = ue @ ie.T
