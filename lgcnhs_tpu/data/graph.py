@@ -49,6 +49,32 @@ def edges_from_df(df: pd.DataFrame) -> EdgeSet:
     )
 
 
+def unique_edges(es: EdgeSet) -> EdgeSet:
+    """First-occurrence-ordered deduplication of (user, item) pairs.
+
+    The reference round-trips every LightGCN-side edge list through a dense
+    0/1 adjacency (``utils/graph.py:23-25``: ``R[u][i] = 1`` collapses
+    duplicated rating rows) before ``gcn_norm`` propagation, BPR edge
+    sampling (``convertAdjMatrixToEdgeIndex``) and ``calValLoss`` — so the
+    GCN sees each interaction once even when ``handleRating`` keeps
+    duplicate (user, item) rows (it never dedupes; real Douban exports can
+    contain them). The metric/diffusion side instead counts dataframe ROWS
+    (``item_degrees``/``user_pos_counts`` docstrings) — only the trainer's
+    edge lists go through this. First-occurrence order keeps this a no-op
+    (even in ordering) on duplicate-free splits."""
+    users = np.asarray(es.users)
+    items = np.asarray(es.items)
+    if users.size == 0:
+        return EdgeSet(users.astype(np.int32), items.astype(np.int32))
+    stride = np.int64(items.max()) + 1
+    key = users.astype(np.int64) * stride + items.astype(np.int64)
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    return EdgeSet(
+        users[first].astype(np.int32), items[first].astype(np.int32)
+    )
+
+
 def build_graph(splits) -> InteractionGraph:
     """From a ``RatingSplits`` to edge arrays (reference ``buildGraph``,
     ``model/LightGCN/recommend.py:23-66``, without the dense adjacency

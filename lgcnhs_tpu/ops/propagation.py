@@ -386,7 +386,12 @@ def edge_gcn_norm(
 ) -> jnp.ndarray:
     """Per-edge symmetric normalization 1/sqrt(d_u d_i) — torch-geometric
     ``gcn_norm(add_self_loops=False)`` weights (``model/LightGCN/model.py:53``).
-    Edge multiplicity counts, matching gcn_norm's degree-by-edge-count."""
+    Degrees count edge-list entries, so pass a DEDUPED edge list for
+    reference parity: the reference always round-trips its edges through a
+    dense 0/1 adjacency before gcn_norm (``utils/graph.py:23-25``), which
+    collapses duplicated rating rows — the trainer feeds
+    ``data/graph.unique_edges`` output so COO degrees match the dense
+    ``normalized_bipartite`` graph exactly."""
     du = jax.ops.segment_sum(
         jnp.ones_like(edge_users, dtype=jnp.float32), edge_users, num_segments=n_users
     )

@@ -212,7 +212,10 @@ def sharded_lambda_sweep(
 
     devices = mesh.devices.reshape(-1)
     n_dev = devices.size
-    lambdas = jnp.asarray(lambdas, jnp.float32)
+    # keep the caller's lambda dtype (f64 under the x64 parity config —
+    # a forced f32 cast here would break the "identical rows vs
+    # lambda_sweep_metrics" contract; round-5 review finding)
+    lambdas = jnp.asarray(lambdas)
     L = lambdas.shape[0]
     pad = (-L) % n_dev
     if pad:
@@ -258,7 +261,8 @@ def sharded_lambda_sweep_tall(
     (same kernel per point)."""
     devices = mesh.devices.reshape(-1)
     n_dev = devices.size
-    lambdas = jnp.asarray(lambdas, jnp.float32)
+    # caller's lambda dtype preserved (see sharded_lambda_sweep)
+    lambdas = jnp.asarray(lambdas)
     L = lambdas.shape[0]
     pad = (-L) % n_dev
     if pad:
@@ -342,17 +346,16 @@ def item_sharded_lambda_sweep(
     seen = jax.device_put(seen, item_cols)
     eval_pos = jax.device_put(eval_pos, item_cols)
 
-    hi = jax.lax.Precision.HIGHEST
     if W_gen is None:
         # (An^T A) with A item-sharded: GSPMD collective matmul, output
-        # column-sharded — identical math to general_spreading_matrix
-        @partial(jax.jit, out_shardings=item_cols)
-        def _wgen_sharded(A):
-            k_user = jnp.sum(A, axis=1)
-            An = A / jnp.where(k_user == 0, 1.0, k_user)[:, None]
-            return jnp.dot(An.T, A, precision=hi, preferred_element_type=A.dtype)
+        # THE general_spreading_matrix, column-sharded via out_shardings —
+        # one body, so the diffusion spec cannot drift between the
+        # single-device and mesh layouts (round-5 review finding)
+        from lgcnhs_tpu.ops.diffusion import general_spreading_matrix
 
-        W_gen = _wgen_sharded(A)
+        W_gen = jax.jit(
+            general_spreading_matrix, out_shardings=item_cols
+        )(A)
     else:
         W_gen = jax.device_put(W_gen, item_cols)
     if S is None:
@@ -368,16 +371,14 @@ def item_sharded_lambda_sweep(
                 jnp.asarray(item_deg, jnp.float32), (0, I_pad - I)
             )
 
-        @partial(jax.jit, out_shardings=item_cols)
-        def _sim_sharded(A, deg):
-            inter = A.astype(jnp.float32)
-            cooc = jnp.dot(
-                inter.T, inter, precision=hi, preferred_element_type=jnp.float32
-            )
-            inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
-            return cooc * inv_sqrt[:, None] * inv_sqrt[None, :]
+        # THE metrics_ops.similarity_matrix, column-sharded via
+        # out_shardings (same f32-cast call convention as the
+        # single-device sweep above) — one body, no drift
+        from lgcnhs_tpu.ops.metrics_ops import similarity_matrix
 
-        S = _sim_sharded(A, deg_pad)
+        S = jax.jit(similarity_matrix, out_shardings=item_cols)(
+            A.astype(jnp.float32), deg_pad
+        )
     else:
         S = jax.device_put(S, item_cols)
 
@@ -404,9 +405,9 @@ def item_sharded_lambda_sweep(
         return _metrics_for_rec(rec, eval_pos, eval_counts, eval_present, S, n_items)
 
     rows = [
-        point(jnp.float32(lam), G, A, k_item_host, W_gen, seen, eval_pos,
+        point(jnp.asarray(lam), G, A, k_item_host, W_gen, seen, eval_pos,
               eval_counts, eval_present, S, k, I)
-        for lam in np.asarray(lambdas, np.float32)
+        for lam in np.asarray(lambdas)  # caller's lambda dtype preserved
     ]
     return jnp.stack(rows)
 

@@ -467,9 +467,21 @@ def train_lightgcn(
 
     optimizer = make_optimizer(hp)
 
+    # LightGCN-side edge lists are DEDUPED: the reference round-trips every
+    # split through a dense 0/1 adjacency (utils/graph.py:23-25,
+    # R[u][i] = 1) before gcn_norm, BPR edge sampling, and calValLoss, so
+    # duplicated (user, item) rating rows collapse there — while the
+    # metric/diversity side keeps dataframe row counts (item_degrees /
+    # user_pos_counts below stay on the RAW splits). First-occurrence order
+    # makes this a no-op on duplicate-free data (data/graph.unique_edges).
+    from lgcnhs_tpu.data.graph import unique_edges
+
+    train_es = unique_edges(graph.train)
+    val_es = unique_edges(graph.val)
+
     # eval-side tensors shared by every path (true, unpadded shapes)
-    val_edge_users = jnp.asarray(graph.val.users)
-    val_edge_items = jnp.asarray(graph.val.items)
+    val_edge_users = jnp.asarray(val_es.users)
+    val_edge_items = jnp.asarray(val_es.items)
     val_counts = jnp.asarray(user_pos_counts(U, graph.val))
     val_present = jnp.asarray(users_present(U, graph.val))
     train_deg = jnp.asarray(item_degrees(I, graph.train))
@@ -518,6 +530,25 @@ def train_lightgcn(
     # uses the default (no such rejection).
     _val_reject_uid = hp.neg_range == "reference"
 
+    def _dense_val_loss_closure(R_hat_val, val_pos):
+        """Shared val-loss closure for the dense-propagation branches
+        (single-chip and mesh — one definition so the calValLoss
+        semantics cannot drift between them): every val edge exactly
+        once, one rejected negative each (evaluation.py:68-77) — NOT a
+        bootstrap resample."""
+
+        def val_loss_closure(params, vkey):
+            v_users, v_pos, v_neg = sample_negatives_for_edges(
+                vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val,
+                reject_user_ids=_val_reject_uid,
+            )
+            return val_loss_fn(
+                params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon,
+                hp.layers,
+            )
+
+        return val_loss_closure
+
     if mesh is not None and propagation == "dense":
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -543,8 +574,8 @@ def train_lightgcn(
             plan,
             normalized_bipartite(U, I, graph.train, dtype=dtype),
             pos_bool_matrix(U, I, graph.train),
-            graph.train.users,
-            graph.train.items,
+            train_es.users,
+            train_es.items,
             r_dtype=jnp.bfloat16 if _bf16 else dtype,
         )
         params = shard_params(plan, params)
@@ -600,16 +631,7 @@ def train_lightgcn(
         def finalize(params):
             return unpad_params(params, U, I)
 
-        def val_loss_closure(params, vkey):
-            # every val edge exactly once, one rejected negative each
-            # (calValLoss, evaluation.py:68-77) — NOT a bootstrap resample
-            v_users, v_pos, v_neg = sample_negatives_for_edges(
-                vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val,
-                reject_user_ids=_val_reject_uid,
-            )
-            return val_loss_fn(
-                params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
-            )
+        val_loss_closure = _dense_val_loss_closure(R_hat_val, val_pos)
 
     elif propagation == "dense":
         from lgcnhs_tpu.data.graph import binary_incidence_factors
@@ -645,16 +667,14 @@ def train_lightgcn(
                 normalized_bipartite(U, I, graph.train, dtype=dtype), r_dtype
             )
     else:
-        from lgcnhs_tpu.ops.propagation import edge_gcn_norm
-
         log.info(
             "graph too large/sparse to densify: COO propagation "
             "(scatter-free bucketed aggregation)"
         )
 
     if mesh is None or propagation == "coo":
-        edge_users = jnp.asarray(graph.train.users)
-        edge_items = jnp.asarray(graph.train.items)
+        edge_users = jnp.asarray(train_es.users)
+        edge_items = jnp.asarray(train_es.items)
         if mesh is not None:
             # COO + mesh: edge blocks sharded below. Tables/optimizer are
             # replicated by default (chip-sized in the regime where U*I
@@ -702,15 +722,7 @@ def train_lightgcn(
                 )
                 return p, r, n, h, i
 
-            def val_loss_closure(params, vkey):
-                # every val edge exactly once (calValLoss, evaluation.py:68-77)
-                v_users, v_pos, v_neg = sample_negatives_for_edges(
-                    vkey, val_edge_users, val_edge_items, val_pos, neg_hi_val,
-                    reject_user_ids=_val_reject_uid,
-                )
-                return val_loss_fn(
-                    params, R_hat_val, v_users, v_pos, v_neg, hp.epsilon, hp.layers
-                )
+            val_loss_closure = _dense_val_loss_closure(R_hat_val, val_pos)
 
             train_step = make_train_step(
                 optimizer, hp, I, bf16_matmul=_bf16, use_pallas=_pallas,
@@ -734,11 +746,14 @@ def train_lightgcn(
 
             if propagation != "dense":
                 # consumed only by the COO train layouts below; skip the
-                # device bincount programs on the bf16-dense rung
+                # device bincount programs on the bf16-dense rung. The
+                # deduped edge list makes the per-edge degrees BINARY —
+                # the same graph the dense normalized_bipartite encodes
+                # and the reference's adjacency round-trip produces.
                 edge_norm = edge_gcn_norm(edge_users, edge_items, U, I)
-            rowptr_np, cols_np = scalable.user_csr(U, graph.train)
+            rowptr_np, cols_np = scalable.user_csr(U, train_es)
             rowptr, cols = jnp.asarray(rowptr_np), jnp.asarray(cols_np)
-            v_rowptr_np, v_cols_np = scalable.user_csr(U, graph.val)
+            v_rowptr_np, v_cols_np = scalable.user_csr(U, val_es)
             v_rowptr, v_cols = jnp.asarray(v_rowptr_np), jnp.asarray(v_cols_np)
             val_edge_norm = edge_gcn_norm(val_edge_users, val_edge_items, U, I)
             inter_edges = (
@@ -857,7 +872,7 @@ def train_lightgcn(
                     make_step = make_sharded_coo_train_step
                     make_scan = make_sharded_coo_train_scan
                 se = shard_bucketed_incidence(
-                    plan, graph.train.users, graph.train.items,
+                    plan, train_es.users, train_es.items,
                     np.asarray(edge_norm), U_se, I_se,
                 )
                 train_step = make_step(
@@ -871,7 +886,7 @@ def train_lightgcn(
                 from lgcnhs_tpu.ops.propagation import build_bucketed_incidence
 
                 binc = build_bucketed_incidence(
-                    graph.train.users, graph.train.items, np.asarray(edge_norm),
+                    train_es.users, train_es.items, np.asarray(edge_norm),
                     U, I,
                 )
                 train_step = make_coo_train_step(
@@ -881,6 +896,19 @@ def train_lightgcn(
                     optimizer, hp, U, I, neg_hi=neg_hi_train
                 )
                 step_args = lambda: (binc, edge_users, edge_items, rowptr, cols)
+
+    if not cfg.compute.donate_state:
+        # compute.donate_state=False keeps the pre-step params/opt buffers
+        # alive (e.g. a driver diffing params across a step). Every step/scan
+        # factory donates (0, 1) for the in-place update, so re-jit the
+        # un-jitted bodies without donation — previously this knob was
+        # advertised (config.py, MIGRATION.md) but never read (round-5
+        # review finding).
+        train_step = jax.jit(train_step.__wrapped__)
+        if train_scan is not None:
+            train_scan = jax.jit(
+                train_scan.__wrapped__, static_argnames=("n_steps",)
+            )
 
     start_epoch = 0
     if checkpoint_dir:
@@ -932,6 +960,30 @@ def train_lightgcn(
             "val_I",
         )
     }
+    if start_epoch > 0 and save_artifacts:
+        # resume: re-seed the metric history from the previous run's CSV so
+        # _save_history extends the reference's whole-run curves/table
+        # instead of clobbering them with only post-resume rows (round-5
+        # review finding). Rows at/after the resume epoch are re-computed
+        # by this run and dropped here.
+        csv_path = os.path.join(
+            cfg.pictures_path, f"{model_name}_{cfg.k}_val_metrics.csv"
+        )
+        if os.path.exists(csv_path):
+            try:
+                import pandas as pd
+
+                prior = pd.read_csv(csv_path)
+                keep = prior[prior["iters"] < start_epoch]
+                for name in history:
+                    if name in keep.columns:
+                        history[name] = [float(v) for v in keep[name]]
+                log.info(
+                    "resume: carried %d prior metric rows from %s",
+                    len(keep), csv_path,
+                )
+            except Exception as exc:  # a corrupt CSV must not kill training
+                log.warning("resume: could not carry prior history: %s", exc)
 
     def _is_boundary(e: int) -> bool:
         """Epochs after which host-side work happens (eval / checkpoint)."""

@@ -197,3 +197,50 @@ def test_resume_sharded_dense_path(tmp_path, graph_and_cfg):
         np.asarray(full.params.item_emb),
         rtol=2e-4, atol=1e-5,
     )
+
+
+def test_resume_extends_metric_history_csv(tmp_path, graph_and_cfg):
+    """A resumed run must EXTEND the metric-history CSV/curves, not clobber
+    them with only post-resume rows (round-5 review finding): the reference
+    always writes the whole run's table (train.py:190-202), and resume is
+    supposed to reproduce the uninterrupted artifacts."""
+    import os
+
+    import pandas as pd
+
+    from lgcnhs_tpu.config import load_config
+
+    graph, _ = graph_and_cfg
+    cfg = load_config(
+        env="dev", dataset="synthetic", model="LightGCN",
+        workdir=str(tmp_path / "wd"),
+    )
+    cfg = _with_epochs(cfg, 20)
+    cfg = cfg.replace(
+        hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epoch_per_eval": 5}
+        )
+    )
+
+    ckpt = str(tmp_path / "ckpt_hist")
+    first = train_lightgcn(
+        graph, cfg.replace(hparams=cfg.hparams.__class__(
+            **{**cfg.hparams.__dict__, "epochs": 11})),
+        checkpoint_dir=ckpt, checkpoint_every=10,
+    )
+    csv_path = os.path.join(
+        cfg.pictures_path, f"LightGCN_{cfg.k}_val_metrics.csv"
+    )
+    rows_first = len(pd.read_csv(csv_path))
+    assert rows_first == len(first.history["iters"])
+
+    resumed = train_lightgcn(
+        graph, cfg, checkpoint_dir=ckpt, checkpoint_every=10,
+    )
+    table = pd.read_csv(csv_path)
+    # pre-resume eval rows (epochs 0, 5, 10) carried + the post-resume
+    # boundary (15) added — the same [0, 5, 10, 15] table an uninterrupted
+    # 20-epoch run writes (19 is not an eval boundary)
+    assert list(table["iters"]) == [0, 5, 10, 15]
+    assert list(table["iters"]) == resumed.history["iters"]
+    assert table["iters"].is_monotonic_increasing

@@ -107,3 +107,71 @@ def test_choose_propagation_auto_mesh_on_single_device():
         choose_propagation(50_000, 30_000, 2_000_000, compute, single_chip=True)
         == "dense"
     )
+
+
+def test_unique_edges_dedupes_preserving_order():
+    from lgcnhs_tpu.data.graph import EdgeSet, unique_edges
+
+    es = EdgeSet(
+        users=np.array([3, 1, 3, 2, 1, 3], np.int32),
+        items=np.array([7, 0, 7, 5, 0, 2], np.int32),
+    )
+    ded = unique_edges(es)
+    np.testing.assert_array_equal(ded.users, [3, 1, 2, 3])
+    np.testing.assert_array_equal(ded.items, [7, 0, 5, 2])
+    # duplicate-free input: exact no-op (ordering included)
+    again = unique_edges(ded)
+    np.testing.assert_array_equal(again.users, ded.users)
+    np.testing.assert_array_equal(again.items, ded.items)
+    empty = unique_edges(EdgeSet(np.zeros(0, np.int32), np.zeros(0, np.int32)))
+    assert empty.n_edges == 0
+
+
+def test_duplicate_edges_train_identically_on_dense_and_coo():
+    """Duplicated (user, item) rating rows (handleRating never dedupes;
+    real Douban exports can carry them) must not change the trained model
+    with the propagation layout: the reference round-trips every edge list
+    through a dense 0/1 adjacency (utils/graph.py:23-25) so its GCN sees
+    each interaction once — the trainer dedupes its LightGCN-side edge
+    lists to match (round-5 review finding: the COO path previously
+    counted edge multiplicity in gcn_norm degrees AND aggregated the
+    duplicated edge twice, silently diverging from the dense path when
+    choose_propagation flipped)."""
+    import pandas as pd
+
+    cfg = load_config(env="dev", dataset="synthetic", model="LightGCN")
+    hp = cfg.hparams.__class__(
+        **{**cfg.hparams.__dict__, "epochs": 12, "epoch_per_eval": 6,
+           "batch_size": 64}
+    )
+    df = synthesize_movielens_like(40, 60, 1800, seed=9)
+    # duplicate ~25% of the rows (same user/item/rating, later timestamp)
+    dup = df.sample(frac=0.25, random_state=0)
+    df = pd.concat([df, dup], ignore_index=True)
+    splits = prepare_ratings(df.sample(frac=1.0, random_state=1), cfg)
+    graph = build_graph(splits)
+    assert graph.train.n_edges > len(
+        set(zip(graph.train.users.tolist(), graph.train.items.tolist()))
+    ), "fixture must actually carry duplicated train edges"
+
+    dense = train_lightgcn(graph, cfg.replace(hparams=hp), save_artifacts=False)
+    coo = train_lightgcn(
+        graph,
+        cfg.replace(
+            hparams=hp,
+            compute=dataclasses.replace(cfg.compute, dense_threshold=1.0),
+        ),
+        save_artifacts=False,
+    )
+    # identical (deduped) triple stream + binary-degree propagation on both
+    # layouts: same history up to float reassociation
+    for key in ("train_loss", "val_loss"):
+        np.testing.assert_allclose(
+            np.asarray(dense.history[key], np.float64),
+            np.asarray(coo.history[key], np.float64),
+            rtol=2e-4, atol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(dense.params.user_emb), np.asarray(coo.params.user_emb),
+        rtol=2e-4, atol=1e-5,
+    )

@@ -271,3 +271,33 @@ def test_neg_range_unknown_value_rejected():
     graph = _tail_graph()
     with pytest.raises(ValueError, match="neg_range"):
         train_lightgcn(graph, _neg_range_cfg("bogus"), save_artifacts=False)
+
+
+def test_donate_state_false_is_honored_and_equivalent(small_graph):
+    """compute.donate_state=False re-jits the step/scan without buffer
+    donation (previously the knob was advertised in config.py/MIGRATION.md
+    but never read — round-5 review finding). Training math is identical;
+    only the buffer reuse changes."""
+    import dataclasses
+
+    graph, cfg = small_graph
+    hp = cfg.hparams.__class__(
+        **{**cfg.hparams.__dict__, "epochs": 10, "epoch_per_eval": 5,
+           "batch_size": 64}
+    )
+    base = train_lightgcn(graph, cfg.replace(hparams=hp), save_artifacts=False)
+    nodonate = train_lightgcn(
+        graph,
+        cfg.replace(
+            hparams=hp,
+            compute=dataclasses.replace(cfg.compute, donate_state=False),
+        ),
+        save_artifacts=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.history["train_loss"]),
+        np.asarray(nodonate.history["train_loss"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.params.user_emb), np.asarray(nodonate.params.user_emb)
+    )
